@@ -1,0 +1,288 @@
+"""Pixel-wise global / local / proxy matching ops.
+
+TPU-native reformulation of the reference's matching core
+(``networks/layers/matching.py``, cleaned standalone
+``AOC-Net/adaptive_embedding_for_matching.py``):
+
+* ``global_matching_bank`` — for every query pixel, the squared-L2
+  distance to the nearest reference pixel *per object*, over a padded
+  fixed-capacity bank of reference frames.  The reference implements
+  train (single frame, ``matching.py:2305``) and eval (list of frames,
+  ``matching.py:2384``) separately and bounds memory by Python-level
+  query chunking (``matching.py:200-249``); here both collapse into one
+  static-shape formulation: a scan over reference tiles with a running
+  per-object min (flash-attention-style online reduction) — the
+  [M, R] distance matrix is never materialized.
+* Masking: the reference pre-filters reference pixels with
+  ``masked_select`` (dynamic shape) and adds
+  ``WRONG_LABEL_PADDING_DISTANCE`` to wrong-object entries
+  (``matching.py:84-88``).  We keep every pixel and add the same
+  penalty to wrong-object *and* invalid (padding) entries; since valid
+  distances are ≪ 5e4 the min is identical, and a fully-absent object
+  saturates to sigmoid≈1 exactly like the reference's empty-reference
+  early-return (``matching.py:2355``).
+* ``local_matching_bank`` — windowed multi-radius NN matching against
+  the previous frame (``matching.py:2710-2849``), with the same 2×
+  downsample, unfold-mask and radius-slicing semantics, expressed as a
+  scan over window rows instead of a 625-column unfold (the unfold
+  materializes [C, HW, 625]; the scan keeps one [K, h, w, C] band).
+* ``proxy_matching`` — distances to a single per-object proxy vector
+  (``matching.py:1162,2518``): one small matmul.
+* ``foreground2background`` — per-object min over the other objects'
+  maps (``matching.py:9-23``), vectorized with a validity mask instead
+  of the O(N²) Python loop.
+
+All functions take embeddings as [H, W, C] / [S, H, W, C] (NHWC) and
+one-hot labels [..., O] with object channel 0 = background.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resize import resize_hw
+
+WRONG_LABEL_PADDING_DISTANCE = 5e4
+
+
+def squash_distance(d: jnp.ndarray, dis_bias: jnp.ndarray) -> jnp.ndarray:
+    """(sigmoid(d + bias) - 0.5) * 2 — reference ``matching.py:2372``.
+
+    ``d``: [..., O, k]; ``dis_bias``: [O] broadcast over the trailing k.
+    """
+    return (jax.nn.sigmoid(d + dis_bias[..., :, None]) - 0.5) * 2.0
+
+
+def _flatten_bank(ref_emb, ref_onehot, slot_valid):
+    """[S,H,W,C]/[S,H,W,O]/[S] -> flat [R,C], [R,O] with padding folded in."""
+    s, h, w, c = ref_emb.shape
+    o = ref_onehot.shape[-1]
+    emb = ref_emb.reshape(s * h * w, c)
+    lab = (ref_onehot * slot_valid[:, None, None, None]).reshape(s * h * w, o)
+    return emb, lab
+
+
+def global_matching_bank(
+    query_emb: jnp.ndarray,      # [H, W, C]
+    ref_emb: jnp.ndarray,        # [S, H, W, C]
+    ref_onehot: jnp.ndarray,     # [S, H, W, O]
+    slot_valid: jnp.ndarray,     # [S] bool/float
+    dis_bias: jnp.ndarray,       # [O]
+    *,
+    atrous_rate: int = 1,
+    tile_r: int = 4096,
+    dtype=jnp.float32,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Per-object nearest-neighbor distance maps: returns [H, W, O, 1]."""
+    h, w, c = query_emb.shape
+    o = ref_onehot.shape[-1]
+
+    if atrous_rate > 1:
+        # Subsample the reference grid (eval path, matching.py:2337-2346 with
+        # atrous_obj_pixel_num==0): keep every `rate`-th row/col.
+        ref_emb = ref_emb[:, ::atrous_rate, ::atrous_rate, :]
+        ref_onehot = ref_onehot[:, ::atrous_rate, ::atrous_rate, :]
+
+    q = query_emb.reshape(h * w, c).astype(dtype)
+    r_emb, r_lab = _flatten_bank(ref_emb.astype(dtype), ref_onehot.astype(dtype),
+                                 slot_valid.astype(dtype))
+
+    if use_pallas:
+        from .pallas_matching import global_matching_pallas
+        d_min = global_matching_pallas(q, r_emb, r_lab)
+    else:
+        d_min = _global_matching_xla(q, r_emb, r_lab, tile_r)
+
+    d_min = d_min.astype(jnp.float32).reshape(h, w, o)
+    return squash_distance(d_min[..., None], dis_bias)
+
+
+def _global_matching_xla(q, r_emb, r_lab, tile_r):
+    """Scan over reference tiles with a running per-object min.
+
+    q: [M, C]; r_emb: [R, C]; r_lab: [R, O]  ->  [M, O] min distances.
+    """
+    m, c = q.shape
+    r, o = r_lab.shape
+    q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)          # [M]
+
+    n_tiles = max(1, -(-r // tile_r))
+    pad_r = n_tiles * tile_r - r
+    if pad_r:
+        r_emb = jnp.pad(r_emb, ((0, pad_r), (0, 0)))
+        r_lab = jnp.pad(r_lab, ((0, pad_r), (0, 0)))
+    r_emb_t = r_emb.reshape(n_tiles, tile_r, c)
+    r_lab_t = r_lab.reshape(n_tiles, tile_r, o)
+
+    def body(carry, tile):
+        re, rl = tile
+        r2 = jnp.sum(jnp.square(re.astype(jnp.float32)), axis=-1)     # [T]
+        cross = jnp.dot(q, re.T, preferred_element_type=jnp.float32)  # [M, T]
+        d = q2[:, None] + r2[None, :] - 2.0 * cross
+        # penalty for wrong-object / padded reference pixels
+        pen = (1.0 - rl.astype(jnp.float32)) * WRONG_LABEL_PADDING_DISTANCE
+        dm = jnp.min(d[:, :, None] + pen[None, :, :], axis=1)         # [M, O]
+        return jnp.minimum(carry, dm), None
+
+    init = jnp.full((m, o), jnp.inf, dtype=jnp.float32)
+    out, _ = jax.lax.scan(body, init, (r_emb_t, r_lab_t))
+    return out
+
+
+def proxy_matching(
+    query_emb: jnp.ndarray,   # [H, W, C]
+    proxies: jnp.ndarray,     # [O, C] per-object proxy vectors
+    dis_bias: jnp.ndarray,    # [O]
+    *,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Distance of every query pixel to each object's single proxy.
+
+    Reference ``global_matching_proxy`` (``matching.py:1162``) /
+    ``_for_eval_proxy`` (``:2518``): a plain [M, C]·[C, O] pairwise
+    distance, no masking.  Returns [H, W, O, 1].
+    """
+    h, w, c = query_emb.shape
+    q = query_emb.reshape(h * w, c).astype(dtype)
+    p = proxies.astype(dtype)
+    q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
+    p2 = jnp.sum(jnp.square(p.astype(jnp.float32)), axis=-1)
+    cross = jnp.dot(q, p.T, preferred_element_type=jnp.float32)
+    d = q2[:, None] + p2[None, :] - 2.0 * cross                      # [M, O]
+    d = d.reshape(h, w, -1)[..., None]
+    return squash_distance(d, dis_bias)
+
+
+def foreground2background(dis: jnp.ndarray, obj_valid: jnp.ndarray) -> jnp.ndarray:
+    """Relative-background maps: per object, min over *other* valid objects.
+
+    ``dis``: [H, W, O, k]; ``obj_valid``: [O].  Reference
+    ``foreground2background`` (``matching.py:9-23``) loops objects; here a
+    masked min.  Invalid/self entries are pushed to +1 (the squashed
+    maps' maximum) so they never win, matching the single-object
+    passthrough behavior.
+    """
+    o = dis.shape[-2]
+    eye = jnp.eye(o, dtype=bool)
+    valid = obj_valid.astype(bool)[None, :] & ~eye                    # [O, O] j valid for i
+    big = jnp.float32(1.0)
+    # dis_j broadcast over i: [H, W, i, j, k]
+    d = jnp.where(valid[:, :, None], dis[:, :, None, :, :], big)
+    out = jnp.min(d, axis=3)
+    # single valid object: reference returns dis unchanged
+    n_valid = jnp.sum(obj_valid.astype(jnp.int32))
+    return jnp.where(n_valid <= 1, dis, out)
+
+
+def local_pairwise_distances(
+    x: jnp.ndarray,            # [h, w, C] query
+    y: jnp.ndarray,            # [h, w, C] previous frame
+    max_distance: int,
+    atrous_rate: int = 1,
+) -> jnp.ndarray:
+    """Windowed squared-L2 cost volume: [h, w, K*K] with K=2*D//a+1.
+
+    Mirrors ``local_pairwise_distances_parallel`` (``matching.py:2710``):
+    y is zero-padded, y² is padded with WRONG_LABEL_PADDING_DISTANCE so
+    out-of-frame offsets read as huge distances.  Implemented as a scan
+    over the K window rows; each step materializes one [K, h, w, C]
+    band instead of the reference's full [C, h*w, K²] unfold.
+    """
+    h, w, c = x.shape
+    pad_d = max_distance - max_distance % atrous_rate
+    k = 2 * (pad_d // atrous_rate) + 1
+
+    x2 = jnp.sum(jnp.square(x), axis=-1)                              # [h, w]
+    y2 = jnp.sum(jnp.square(y), axis=-1)
+    y_pad = jnp.pad(y, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+    y2_pad = jnp.pad(y2, ((pad_d, pad_d), (pad_d, pad_d)),
+                     constant_values=WRONG_LABEL_PADDING_DISTANCE)
+
+    dx_offsets = np.arange(k) * atrous_rate
+
+    def row_body(carry, dy_idx):
+        dy = dy_idx * atrous_rate
+        band = jax.lax.dynamic_slice(y_pad, (dy, 0, 0), (h, w + 2 * pad_d, c))
+        band2 = jax.lax.dynamic_slice(y2_pad, (dy, 0), (h, w + 2 * pad_d))
+        # stack K column shifts of the band: [K, h, w, C]
+        cols = jnp.stack([jax.lax.dynamic_slice(band, (0, int(dx), 0), (h, w, c))
+                          for dx in dx_offsets], axis=0)
+        cols2 = jnp.stack([jax.lax.dynamic_slice(band2, (0, int(dx)), (h, w))
+                           for dx in dx_offsets], axis=0)
+        cross = jnp.einsum("khwc,hwc->khw", cols.astype(jnp.float32),
+                           x.astype(jnp.float32))
+        d_row = x2[None] + cols2 - 2.0 * cross                        # [K, h, w]
+        return carry, d_row
+
+    _, rows = jax.lax.scan(row_body, 0, jnp.arange(k))                # [K, K, h, w]
+    d = jnp.transpose(rows, (2, 3, 0, 1)).reshape(h, w, k * k)
+    return d
+
+
+def local_matching_bank(
+    query_emb: jnp.ndarray,     # [H, W, C]
+    prev_emb: jnp.ndarray,      # [H, W, C]
+    prev_onehot: jnp.ndarray,   # [H, W, O]
+    dis_bias: jnp.ndarray,      # [O]
+    multi_local_distance: Sequence[int] = (2, 4, 6, 8, 10, 12),
+    *,
+    atrous_rate: int = 1,
+    allow_downsample: bool = True,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Multi-radius local NN matching: returns [H, W, O, n_radii].
+
+    Channel order matches the reference (``matching.py:2823-2847``):
+    the full-radius map first, then radii[:-1] in order.
+    """
+    ori_h, ori_w, c = query_emb.shape
+    o = prev_onehot.shape[-1]
+    max_distance = int(multi_local_distance[-1])
+
+    x = query_emb.astype(dtype)
+    y = prev_emb.astype(dtype)
+    if allow_downsample:
+        down_hw = (ori_h // 2 + 1, ori_w // 2 + 1)
+        x = resize_hw(x, down_hw, "bilinear")
+        y = resize_hw(y, down_hw, "bilinear")
+    h, w = x.shape[:2]
+
+    d = local_pairwise_distances(x, y, max_distance, atrous_rate)     # [h, w, K²]
+
+    labels = prev_onehot
+    if (h, w) != (ori_h, ori_w):
+        labels = resize_hw(prev_onehot, (h, w), "nearest")
+    pad_d = max_distance - max_distance % atrous_rate
+    a_max = pad_d // atrous_rate
+    k = 2 * a_max + 1
+
+    # offset masks: shifted label windows (reference unfold, matching.py:2812)
+    lab_pad = jnp.pad(labels, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+    shifts = []
+    for dy in range(k):
+        for dx in range(k):
+            shifts.append(jax.lax.dynamic_slice(
+                lab_pad, (dy * atrous_rate, dx * atrous_rate, 0), (h, w, o)))
+    offset_masks = jnp.stack(shifts, axis=2) > 0.9                    # [h, w, K², O]
+
+    d_masked = jnp.where(offset_masks, d[..., None],
+                         jnp.float32(WRONG_LABEL_PADDING_DISTANCE))   # [h, w, K², O]
+
+    maps = [jnp.min(d_masked, axis=2)]                                # full radius
+    d_grid = d_masked.reshape(h, w, k, k, o)
+    for local_dis in multi_local_distance[:-1]:
+        r = local_dis // atrous_rate
+        sl = slice(a_max - r, a_max + r + 1)
+        maps.append(jnp.min(d_grid[:, :, sl, sl, :].reshape(h, w, -1, o), axis=2))
+
+    multi = jnp.stack(maps, axis=-1)                                  # [h, w, O, n]
+    multi = squash_distance(multi.astype(jnp.float32), dis_bias)
+    if (h, w) != (ori_h, ori_w):
+        multi = resize_hw(multi, (ori_h, ori_w), "bilinear")
+    return multi

@@ -1,0 +1,106 @@
+"""Torch-compatible image resizing as separable weight-matrix matmuls.
+
+The reference leans on ``F.interpolate`` with ``align_corners=True``
+(bilinear for distance maps/logits, bicubic in the decoder,
+``decoding_module.py:163``) and ``mode='nearest'`` for labels
+(``aocnet.py:125-135``).  Exact parity with torch's sampling grids
+matters for J&F parity, so we reproduce them.
+
+TPU-first design: instead of gather-based sampling, each 1-D resample is
+expressed as a dense ``[out, in]`` weight matrix applied with a matmul —
+separable over H then W.  Matmuls map straight onto the MXU and XLA fuses
+the surrounding elementwise work; gathers would serialize on the VPU.
+Weight matrices are built in numpy at trace time and cached per
+``(in, out, mode)`` so jit sees them as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=512)
+def _resize_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
+    """Dense [out, in] resampling matrix for one axis."""
+    if in_size == out_size and mode in ("bilinear", "nearest"):
+        return np.eye(out_size, dtype=np.float32)
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    if mode == "nearest":
+        # torch 'nearest': src = floor(dst * in/out)
+        scale = in_size / out_size
+        src = np.minimum((np.arange(out_size) * scale).astype(np.int64), in_size - 1)
+        w[np.arange(out_size), src] = 1.0
+    elif mode == "bilinear":
+        # align_corners=True: src = dst * (in-1)/(out-1)
+        if out_size == 1:
+            src = np.zeros(1)
+        else:
+            src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+        lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+        hi = np.clip(lo + 1, 0, in_size - 1)
+        frac = src - lo
+        w[np.arange(out_size), lo] += 1.0 - frac
+        w[np.arange(out_size), hi] += frac
+    elif mode == "bicubic":
+        # align_corners=True cubic convolution, A=-0.75 (torch default)
+        A = -0.75
+
+        def cubic(x):
+            x = np.abs(x)
+            r = np.where(
+                x <= 1.0,
+                ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0,
+                np.where(x < 2.0, ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A, 0.0),
+            )
+            return r
+
+        if out_size == 1:
+            src = np.zeros(1)
+        else:
+            src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+        lo = np.floor(src).astype(np.int64)
+        frac = src - lo
+        for tap in (-1, 0, 1, 2):
+            idx = np.clip(lo + tap, 0, in_size - 1)
+            w[np.arange(out_size), idx] += cubic(frac - tap)
+    else:
+        raise ValueError(f"unknown resize mode: {mode}")
+    return w.astype(np.float32)
+
+
+def resize_hw(x: jnp.ndarray, out_hw, mode: str = "bilinear") -> jnp.ndarray:
+    """Resize the leading two spatial axes of ``x`` ([H, W, ...]).
+
+    Any number of trailing axes is allowed; dtype is preserved.
+    """
+    h, w = x.shape[0], x.shape[1]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        return x
+    orig_dtype = x.dtype
+    trailing = x.shape[2:]
+    mat_h = jnp.asarray(_resize_matrix(h, oh, mode))
+    mat_w = jnp.asarray(_resize_matrix(w, ow, mode))
+    xf = x.reshape(h, -1).astype(jnp.float32)
+    xf = mat_h @ xf                                  # [oh, w*rest]
+    xf = xf.reshape(oh, w, -1)
+    xf = jnp.einsum("ow,hwc->ohc", mat_w, xf)        # [oh, ow, rest]
+    out = xf.reshape((oh, ow) + trailing)
+    if mode == "nearest":
+        out = out.astype(orig_dtype)
+    return out.astype(orig_dtype) if orig_dtype != jnp.float32 else out
+
+
+def resize_nchw_like(x: jnp.ndarray, out_hw, mode: str = "bilinear") -> jnp.ndarray:
+    """Resize [..., H, W] (channel-first layouts) on the last two axes."""
+    perm_in = tuple(range(x.ndim))
+    # move H, W to front
+    hw_axes = (x.ndim - 2, x.ndim - 1)
+    rest = tuple(a for a in perm_in if a not in hw_axes)
+    xt = jnp.transpose(x, hw_axes + rest)
+    yt = resize_hw(xt, out_hw, mode)
+    inv = np.argsort(hw_axes + rest)
+    return jnp.transpose(yt, tuple(inv))

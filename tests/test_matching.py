@@ -1,0 +1,187 @@
+"""Matching kernels vs dense numpy oracles.
+
+The oracles implement the reference semantics directly (squared-L2 with
+the Gram trick, +5e4 wrong-label penalty, masked window mins) — the
+reference's own dual implementations (chunked vs unchunked, parallel vs
+loop, matching.py:200-249/2664-2752) are the model for this strategy.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from rvos_tpu.ops.matching import (
+    WRONG_LABEL_PADDING_DISTANCE,
+    foreground2background,
+    global_matching_bank,
+    local_matching_bank,
+    proxy_matching,
+    squash_distance,
+)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _squash(d, bias):
+    return (_sigmoid(d + bias) - 0.5) * 2.0
+
+
+def _dense_global_oracle(q, refs, labs, slot_valid, bias):
+    """q:[H,W,C]; refs:[S,H,W,C]; labs:[S,H,W,O] -> [H,W,O,1]."""
+    h, w, c = q.shape
+    s = refs.shape[0]
+    o = labs.shape[-1]
+    qf = q.reshape(-1, c)
+    rf = refs.reshape(-1, c)
+    lf = (labs * slot_valid[:, None, None, None]).reshape(-1, o)
+    d = ((qf[:, None, :] - rf[None, :, :]) ** 2).sum(-1)      # [M, R]
+    pen = (1.0 - lf) * WRONG_LABEL_PADDING_DISTANCE
+    dm = (d[:, :, None] + pen[None]).min(axis=1)              # [M, O]
+    out = _squash(dm.reshape(h, w, o, 1), bias[None, None, :, None])
+    return out
+
+
+def make_case(rng, h=9, w=11, c=8, o=3, s=2):
+    q = rng.standard_normal((h, w, c)).astype(np.float32)
+    refs = rng.standard_normal((s, h, w, c)).astype(np.float32)
+    lab_ids = rng.integers(0, o, size=(s, h, w))
+    labs = np.eye(o, dtype=np.float32)[lab_ids]
+    slot_valid = np.ones((s,), np.float32)
+    bias = rng.standard_normal((o,)).astype(np.float32) * 0.1
+    return q, refs, labs, slot_valid, bias
+
+
+def test_global_matching_matches_oracle(rng):
+    q, refs, labs, sv, bias = make_case(rng)
+    got = np.asarray(global_matching_bank(
+        jnp.asarray(q), jnp.asarray(refs), jnp.asarray(labs),
+        jnp.asarray(sv), jnp.asarray(bias), tile_r=13))
+    want = _dense_global_oracle(q, refs, labs, sv, bias)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_global_matching_invalid_slot_ignored(rng):
+    q, refs, labs, sv, bias = make_case(rng)
+    # slot 1 invalid == oracle over slot 0 only
+    sv2 = np.array([1.0, 0.0], np.float32)
+    got = np.asarray(global_matching_bank(
+        jnp.asarray(q), jnp.asarray(refs), jnp.asarray(labs),
+        jnp.asarray(sv2), jnp.asarray(bias)))
+    want = _dense_global_oracle(q, refs[:1], labs[:1], sv[:1], bias)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_global_matching_empty_object_saturates(rng):
+    q, refs, labs, sv, bias = make_case(rng, o=4)
+    labs[..., 3] = 0.0  # object 3 absent everywhere
+    got = np.asarray(global_matching_bank(
+        jnp.asarray(q), jnp.asarray(refs), jnp.asarray(labs),
+        jnp.asarray(sv), jnp.asarray(bias)))
+    assert np.all(got[..., 3, :] > 0.999)
+
+
+def test_proxy_matching_matches_oracle(rng):
+    h, w, c, o = 7, 9, 8, 3
+    q = rng.standard_normal((h, w, c)).astype(np.float32)
+    p = rng.standard_normal((o, c)).astype(np.float32)
+    bias = rng.standard_normal((o,)).astype(np.float32) * 0.1
+    got = np.asarray(proxy_matching(jnp.asarray(q), jnp.asarray(p),
+                                    jnp.asarray(bias)))
+    d = ((q.reshape(-1, 1, c) - p[None]) ** 2).sum(-1).reshape(h, w, o, 1)
+    want = _squash(d, bias[None, None, :, None])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _dense_local_oracle(x, y, onehot, bias, radii, atrous_rate=1):
+    """No-downsample dense oracle on the (possibly already small) grid."""
+    h, w, c = x.shape
+    o = onehot.shape[-1]
+    D = radii[-1]
+    pad_d = D - D % atrous_rate
+    k = 2 * (pad_d // atrous_rate) + 1
+    ypad = np.pad(y, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+    y2pad = np.pad((y ** 2).sum(-1), pad_d,
+                   constant_values=WRONG_LABEL_PADDING_DISTANCE)
+    lpad = np.pad(onehot, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+    x2 = (x ** 2).sum(-1)
+    d = np.zeros((h, w, k, k, o), np.float32)
+    for iy in range(k):
+        for ix in range(k):
+            ys = ypad[iy * atrous_rate: iy * atrous_rate + h,
+                      ix * atrous_rate: ix * atrous_rate + w]
+            y2s = y2pad[iy * atrous_rate: iy * atrous_rate + h,
+                        ix * atrous_rate: ix * atrous_rate + w]
+            ls = lpad[iy * atrous_rate: iy * atrous_rate + h,
+                      ix * atrous_rate: ix * atrous_rate + w]
+            dist = x2 + y2s - 2.0 * (x * ys).sum(-1)
+            for oo in range(o):
+                d[:, :, iy, ix, oo] = np.where(ls[..., oo] > 0.9, dist,
+                                               WRONG_LABEL_PADDING_DISTANCE)
+    a_max = pad_d // atrous_rate
+    maps = [d.reshape(h, w, -1, o).min(axis=2)]
+    for r in radii[:-1]:
+        rr = r // atrous_rate
+        sub = d[:, :, a_max - rr:a_max + rr + 1, a_max - rr:a_max + rr + 1, :]
+        maps.append(sub.reshape(h, w, -1, o).min(axis=2))
+    out = np.stack(maps, axis=-1)                     # [h, w, O, n]
+    return _squash(out, bias[None, None, :, None])
+
+
+def test_local_matching_matches_oracle(rng):
+    h, w, c, o = 13, 15, 6, 3
+    radii = (1, 2, 3)
+    x = rng.standard_normal((h, w, c)).astype(np.float32)
+    y = rng.standard_normal((h, w, c)).astype(np.float32)
+    lab_ids = rng.integers(0, o, size=(h, w))
+    onehot = np.eye(o, dtype=np.float32)[lab_ids]
+    bias = rng.standard_normal((o,)).astype(np.float32) * 0.1
+    got = np.asarray(local_matching_bank(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(onehot),
+        jnp.asarray(bias), radii, allow_downsample=False))
+    want = _dense_local_oracle(x, y, onehot, bias, radii)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_local_matching_downsample_shapes(rng):
+    h, w, c, o = 21, 17, 6, 2
+    x = rng.standard_normal((h, w, c)).astype(np.float32)
+    y = rng.standard_normal((h, w, c)).astype(np.float32)
+    onehot = np.eye(o, dtype=np.float32)[rng.integers(0, o, size=(h, w))]
+    bias = np.zeros((o,), np.float32)
+    got = local_matching_bank(jnp.asarray(x), jnp.asarray(y),
+                              jnp.asarray(onehot), jnp.asarray(bias),
+                              (2, 4), allow_downsample=True)
+    assert got.shape == (h, w, o, 2)
+    assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_foreground2background(rng):
+    h, w, o, k = 5, 6, 4, 2
+    dis = rng.uniform(0, 1, size=(h, w, o, k)).astype(np.float32)
+    valid = np.array([1, 1, 1, 0], np.float32)
+    got = np.asarray(foreground2background(jnp.asarray(dis), jnp.asarray(valid)))
+    for i in range(3):
+        others = [j for j in range(3) if j != i]
+        want = dis[:, :, others, :].min(axis=2)
+        np.testing.assert_allclose(got[:, :, i, :], want, atol=1e-6)
+
+
+def test_foreground2background_single_object_passthrough(rng):
+    dis = rng.uniform(0, 1, size=(4, 4, 3, 1)).astype(np.float32)
+    valid = np.array([1, 0, 0], np.float32)
+    got = np.asarray(foreground2background(jnp.asarray(dis), jnp.asarray(valid)))
+    np.testing.assert_allclose(got, dis)
+
+
+def test_pallas_kernel_interpret_matches_xla(rng):
+    from rvos_tpu.ops.pallas_matching import global_matching_pallas
+    from rvos_tpu.ops.matching import _global_matching_xla
+    m, r, c, o = 70, 130, 12, 3
+    q = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    re = jnp.asarray(rng.standard_normal((r, c)).astype(np.float32))
+    lab = jnp.asarray(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=(r,))])
+    got = np.asarray(global_matching_pallas(q, re, lab, interpret=True))
+    want = np.asarray(_global_matching_xla(q, re, lab, tile_r=64))
+    np.testing.assert_allclose(got, want, atol=1e-3)
