@@ -1,0 +1,213 @@
+"""Decoder-side building blocks (flax.linen, NHWC).
+
+Ports of the reference's intended semantics with the release defects of
+SURVEY.md §2.9 fixed:
+
+* ``GCT`` / ``GNBottleneck`` — gated channel transform and the
+  GroupNorm bottleneck residual block (``networks/layers/gct.py:7-91``;
+  the dead ``SpatialProp`` import dropped).
+* ``IAGate`` — instance-attention channel gate
+  (``networks/layers/attention.py:7-17``).
+* ``GNASPP`` — the GroupNorm/GCT ASPP used inside the calibration
+  decoder (``networks/layers/aspp.py:33-78``, 512→640→256).
+* ``ConditioningLayer`` / ``ConditioningBlock`` — Eq.(7)/Eq.(5) of the
+  paper (``networks/aoc/conditioning_layer.py:6-87``).  The released
+  forward calls its own sublayers without ``self.`` and feeds vector
+  inputs into Conv2d saliency (§2.9); the reconstruction here: spatial
+  inputs use saliency top-β masking + GAP + MLP, vector inputs (the
+  inter-object delta and the β=1 proxy head) degenerate to the MLP —
+  Eq.(7) with a singleton spatial support.
+* ``DynamicPreHead`` — 1×1 conv + GN + ReLU over the stacked distance
+  maps (``networks/aoc/decoding_module.py:228-240``).
+
+All spatial tensors are [O, H, W, C] — the object axis rides the batch
+dim exactly like the reference's per-object decoding.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class GCT(nn.Module):
+    """Gated channel transform, l2 mode (gct.py:7-36)."""
+    channels: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # [O, H, W, C]
+        alpha = self.param("alpha", nn.initializers.ones, (1, 1, 1, self.channels))
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, self.channels))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, self.channels))
+        embedding = jnp.sqrt(jnp.sum(jnp.square(x), axis=(1, 2), keepdims=True)
+                             + self.epsilon) * alpha
+        norm = gamma / jnp.sqrt(jnp.mean(jnp.square(embedding), axis=-1,
+                                         keepdims=True) + self.epsilon)
+        gate = 1.0 + jnp.tanh(embedding * norm + beta)
+        return x * gate
+
+
+class GNBottleneck(nn.Module):
+    """GCT-fronted GroupNorm bottleneck residual (gct.py:38-91)."""
+    inplanes: int
+    outplanes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        planes = self.outplanes // 4
+        residual = x
+        out = GCT(self.inplanes, name="GCT1")(x)
+        out = nn.Conv(planes, (1, 1), use_bias=False,
+                      kernel_init=nn.initializers.kaiming_normal(),
+                      name="conv1")(out)
+        out = nn.GroupNorm(num_groups=32, name="bn1", epsilon=1e-5)(out)
+        out = nn.relu(out)
+        out = nn.Conv(planes, (3, 3), strides=(self.stride, self.stride),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      padding=self.dilation, use_bias=False,
+                      kernel_init=nn.initializers.kaiming_normal(),
+                      name="conv2")(out)
+        out = nn.GroupNorm(num_groups=32, name="bn2", epsilon=1e-5)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.outplanes, (1, 1), use_bias=False,
+                      kernel_init=nn.initializers.kaiming_normal(),
+                      name="conv3")(out)
+        out = nn.GroupNorm(num_groups=32, name="bn3", epsilon=1e-5)(out)
+        if self.stride != 1 or self.inplanes != self.outplanes:
+            residual = nn.Conv(self.outplanes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False,
+                               kernel_init=nn.initializers.kaiming_normal(),
+                               name="downsample_conv")(x)
+            residual = nn.GroupNorm(num_groups=32, name="downsample_gn", epsilon=1e-5)(residual)
+        return nn.relu(out + residual)
+
+
+class IAGate(nn.Module):
+    """x * (1 + tanh(Linear(head))) (attention.py:7-17)."""
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, head):  # x: [O, H, W, C]; head: [O, D]
+        a = nn.Dense(self.out_dim, name="IA")(head)
+        gate = 1.0 + jnp.tanh(a)
+        return x * gate[:, None, None, :]
+
+
+class _GNASPPModule(nn.Module):
+    inplanes: int
+    planes: int
+    kernel_size: int
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = GCT(self.inplanes, name="GCT")(x)
+        pad = 0 if self.kernel_size == 1 else self.dilation
+        x = nn.Conv(self.planes, (self.kernel_size, self.kernel_size),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    padding=pad, use_bias=False,
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="atrous_conv")(x)
+        x = nn.GroupNorm(num_groups=self.planes // 4, name="bn", epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class GNASPP(nn.Module):
+    """Calibration-decoder ASPP: 512-in, GN+GCT (layers/aspp.py:33-78)."""
+    inplanes: int = 512
+
+    @nn.compact
+    def __call__(self, x):  # [O, H, W, 512]
+        d = (1, 6, 12, 18)
+        x1 = _GNASPPModule(self.inplanes, 128, 1, d[0], name="aspp1")(x)
+        x2 = _GNASPPModule(self.inplanes, 128, 3, d[1], name="aspp2")(x)
+        x3 = _GNASPPModule(self.inplanes, 128, 3, d[2], name="aspp3")(x)
+        x4 = _GNASPPModule(self.inplanes, 128, 3, d[3], name="aspp4")(x)
+        x5 = jnp.mean(x, axis=(1, 2), keepdims=True)
+        x5 = nn.Conv(128, (1, 1), use_bias=False,
+                     kernel_init=nn.initializers.kaiming_normal(),
+                     name="global_conv")(x5)
+        x5 = nn.relu(x5)
+        x5 = jnp.broadcast_to(x5, x4.shape[:3] + (128,))
+        x = jnp.concatenate([x1, x2, x3, x4, x5], axis=-1)
+        x = GCT(640, name="GCT")(x)
+        x = nn.Conv(256, (1, 1), use_bias=False,
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="conv1")(x)
+        x = nn.GroupNorm(num_groups=32, name="bn1", epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class ConditioningLayer(nn.Module):
+    """Eq.(7): saliency top-β mask → GAP → MLP (conditioning_layer.py:6-48).
+
+    Spatial input [O, H, W, C]: 1×1-conv saliency, strict top-β spatial
+    mask, masked mean over the full H*W support (the reference's
+    ``avg_pool1d`` divides by H*W, not by the mask count), then a Dense.
+    Vector input [O, C]: the Eq.(7) degenerate case (singleton support)
+    — Dense only.
+    """
+    in_dim: int
+    beta_percentage: float = 0.3
+
+    @nn.compact
+    def __call__(self, z):
+        if z.ndim == 2:  # vector conditioning code
+            return nn.Dense(self.in_dim, name="mlp_layer")(z)
+        o, h, w, c = z.shape
+        phi = nn.Conv(1, (1, 1),
+                      kernel_init=nn.initializers.kaiming_normal(),
+                      name="phi_layer")(z)                    # [O, H, W, 1]
+        phi_flat = phi.reshape(o, h * w)
+        beta_rank = max(1, int(self.beta_percentage * h * w))
+        kth = jnp.sort(phi_flat, axis=-1)[:, -beta_rank][:, None]
+        mask = (phi_flat > kth).astype(z.dtype)               # strict >, ref :36
+        z_flat = z.reshape(o, h * w, c)
+        pooled = jnp.sum(z_flat * mask[..., None], axis=1) / (h * w)
+        return nn.Dense(self.in_dim, name="mlp_layer")(pooled)
+
+
+class ConditioningBlock(nn.Module):
+    """Eq.(5): intra-object + inter-object + proxy codes → channel gate
+    (conditioning_layer.py:50-87 with §2.9 wiring fixes)."""
+    in_dim: int
+    proxy_dim: int = 400
+    beta_percentage: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, proxy_head, obj_valid):
+        # inter-object pooled delta over valid objects
+        px = jnp.mean(x, axis=(1, 2))                         # [O, C]
+        px = px * obj_valid[:, None]
+        x_delta = jnp.sum(px, axis=0, keepdims=True) - px     # [O, C]
+
+        cl1 = ConditioningLayer(self.in_dim, self.beta_percentage,
+                                name="CL_1")(x)
+        cl2 = ConditioningLayer(self.in_dim, self.beta_percentage,
+                                name="CL_2")(x_delta)
+        cl3 = ConditioningLayer(self.proxy_dim, 1.0, name="CL_3")(proxy_head)
+
+        a = nn.Dense(self.in_dim, name="mlp_layer")(
+            jnp.concatenate([cl1, cl2, cl3], axis=1))
+        gate = 1.0 + jnp.tanh(a)
+        return x * gate[:, None, None, :]
+
+
+class DynamicPreHead(nn.Module):
+    """1×1 conv + GN + ReLU over stacked distance maps
+    (decoding_module.py:228-240)."""
+    embed_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):  # [O, H, W, in_dim]
+        x = nn.Conv(self.embed_dim, (1, 1),
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="conv")(x)
+        x = nn.GroupNorm(num_groups=self.embed_dim // 4, name="bn", epsilon=1e-5)(x)
+        return nn.relu(x)

@@ -60,7 +60,8 @@ def _masked_kmeans_single(points, weights, key, k, iters):
         p2 = jnp.sum(jnp.square(pts32), axis=-1, keepdims=True)
         c2 = jnp.sum(jnp.square(cent), axis=-1)
         d = p2 + c2[None, :] - 2.0 * jnp.dot(pts32, cent.T,
-                                             preferred_element_type=jnp.float32)
+                                             preferred_element_type=jnp.float32,
+                                             precision=jax.lax.Precision.HIGHEST)
         d = jnp.where(cent_ok[None, :], d, jnp.inf)
         lab = jnp.argmin(d, axis=-1)                               # [R]
         onehot = jax.nn.one_hot(lab, k, dtype=jnp.float32) * w[:, None]
@@ -69,7 +70,8 @@ def _masked_kmeans_single(points, weights, key, k, iters):
     def body(cent, _):
         onehot = assign(cent, init_valid)
         counts = jnp.sum(onehot, axis=0)                           # [K]
-        sums = jnp.dot(onehot.T, pts32, preferred_element_type=jnp.float32)
+        sums = jnp.dot(onehot.T, pts32, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None],
                         cent)                                      # empty: keep old
         return new, None
@@ -79,7 +81,8 @@ def _masked_kmeans_single(points, weights, key, k, iters):
     # final assignment for the cluster-mean bank
     onehot = assign(centroids, init_valid)
     counts = jnp.sum(onehot, axis=0)
-    sums = jnp.dot(onehot.T, pts32, preferred_element_type=jnp.float32)
+    sums = jnp.dot(onehot.T, pts32, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     means = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None],
                       centroids)
     mean_valid = (counts > 0) & init_valid
@@ -128,7 +131,8 @@ def cluster_matching(
         o, k, _ = bank.shape
         b = bank.reshape(o * k, c).astype(dtype)
         b2 = jnp.sum(jnp.square(b.astype(jnp.float32)), axis=-1)
-        cross = jnp.dot(q, b.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(q, b.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         d = q2[:, None] + b2[None, :] - 2.0 * cross               # [M, O*K]
         d = d.reshape(-1, o, k)
         pen = (1.0 - valid.astype(jnp.float32)) * WRONG_LABEL_PADDING_DISTANCE

@@ -123,7 +123,8 @@ def _global_matching_xla(q, r_emb, r_lab, tile_r):
     def body(carry, tile):
         re, rl = tile
         r2 = jnp.sum(jnp.square(re.astype(jnp.float32)), axis=-1)     # [T]
-        cross = jnp.dot(q, re.T, preferred_element_type=jnp.float32)  # [M, T]
+        cross = jnp.dot(q, re.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)    # [M, T]
         d = q2[:, None] + r2[None, :] - 2.0 * cross
         # penalty for wrong-object / padded reference pixels
         pen = (1.0 - rl.astype(jnp.float32)) * WRONG_LABEL_PADDING_DISTANCE
@@ -153,7 +154,8 @@ def proxy_matching(
     p = proxies.astype(dtype)
     q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
     p2 = jnp.sum(jnp.square(p.astype(jnp.float32)), axis=-1)
-    cross = jnp.dot(q, p.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(q, p.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d = q2[:, None] + p2[None, :] - 2.0 * cross                      # [M, O]
     d = d.reshape(h, w, -1)[..., None]
     return squash_distance(d, dis_bias)
@@ -216,7 +218,8 @@ def local_pairwise_distances(
         cols2 = jnp.stack([jax.lax.dynamic_slice(band2, (0, int(dx)), (h, w))
                            for dx in dx_offsets], axis=0)
         cross = jnp.einsum("khwc,hwc->khw", cols.astype(jnp.float32),
-                           x.astype(jnp.float32))
+                           x.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
         d_row = x2[None] + cols2 - 2.0 * cross                        # [K, h, w]
         return carry, d_row
 

@@ -87,7 +87,7 @@ def resize_hw(x: jnp.ndarray, out_hw, mode: str = "bilinear") -> jnp.ndarray:
     xf = x.reshape(h, -1).astype(jnp.float32)
     xf = mat_h @ xf                                  # [oh, w*rest]
     xf = xf.reshape(oh, w, -1)
-    xf = jnp.einsum("ow,hwc->ohc", mat_w, xf)        # [oh, ow, rest]
+    xf = jnp.einsum("ow,hwc->hoc", mat_w, xf)        # [oh, ow, rest]
     out = xf.reshape((oh, ow) + trailing)
     if mode == "nearest":
         out = out.astype(orig_dtype)

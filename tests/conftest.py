@@ -4,7 +4,6 @@ fake distributed backend — SURVEY.md §4) before JAX initializes."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +11,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The hosted TPU plugin ignores JAX_PLATFORMS from the environment; the
+# config API is authoritative.  Must run before any backend is touched.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
