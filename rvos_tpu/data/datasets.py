@@ -1,0 +1,443 @@
+"""Datasets: DAVIS / YouTube-VOS train + eval, synthetic fixtures.
+
+Host-side pure-Python datasets (no torch DataLoader): each train
+dataset is an indexable sampler emitting numpy dicts, each eval dataset
+yields per-sequence frame iterators.  Mirrors
+``dataloaders/datasets_m.py``:
+
+* ``VOSTrain`` (:25-194): ref frame with ≥200 fg pixels
+  (``get_ref_index_v2``), previous frame, ``curr_len`` frames at random
+  gaps with reflect-padding (``check_index``), ≤5 consistency retries
+  for ref⊇(prev∪curr) objects.
+* ``DAVISTrain`` (:196-239, repeat 30), ``YTBVOSTrain`` (:241-293,
+  meta.json, skips <2-frame objects).
+* ``SyntheticTrain``/``SyntheticEval`` — the reference's TEST /
+  EVAL_TEST fixtures (:296-366): fake data for full-loop smoke tests
+  with no downloads.
+* ``VOSTestSeq`` (:368-493): streaming eval sequences with incremental
+  object appearance bookkeeping; ``DAVISTest`` (:674-723),
+  ``YTBVOSTest`` (:622-671, meta.json / meta_all for all-frames).
+
+Perturbation hook: every eval dataset takes ``frame_transform`` — plug
+``perturb.get_perturbation(k)`` for the Robust-VOS-Benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+
+def _read_image(path: str, rgb: bool = True) -> np.ndarray:
+    if _HAS_CV2:
+        img = cv2.imread(path)
+        img = np.array(img, dtype=np.float32)
+        if rgb:
+            img = img[:, :, ::-1]
+        return np.ascontiguousarray(img)
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    return img if rgb else img[:, :, ::-1]
+
+
+def _read_label(path: str) -> np.ndarray:
+    return np.array(Image.open(path), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+class VOSTrain:
+    def __init__(self, image_root, label_root, imglistdic, transform=None,
+                 rgb=True, repeat_time=1, rand_gap=3, curr_len=3,
+                 rand_reverse=True, seed=None):
+        self.image_root = image_root
+        self.label_root = label_root
+        self.imglistdic = imglistdic
+        self.transform = transform
+        self.rgb = rgb
+        self.repeat_time = repeat_time
+        self.rand_gap = rand_gap
+        self.curr_len = curr_len
+        self.rand_reverse = rand_reverse
+        self.seqs = list(imglistdic.keys())
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return int(len(self.seqs) * self.repeat_time)
+
+    def _get_image_label(self, seqname, imagelist, lablist, index):
+        image = _read_image(os.path.join(self.image_root, seqname,
+                                         imagelist[index]), self.rgb)
+        label = _read_label(os.path.join(self.label_root, seqname,
+                                         lablist[index]))
+        return image, label
+
+    def _check_index(self, total_len, index):
+        """Reflect-padding (ref :102-118)."""
+        if total_len <= 1:
+            return 0
+        while index < 0 or index >= total_len:
+            if index < 0:
+                index = -index
+            else:
+                index = 2 * (total_len - 1) - index
+        return index
+
+    def _ref_index(self, seqname, lablist, min_fg_pixels=200, max_try=5):
+        ref_index = 0
+        for _ in range(max_try):
+            ref_index = int(self.rng.integers(len(lablist)))
+            lab = _read_label(os.path.join(self.label_root, seqname,
+                                           lablist[ref_index]))
+            if np.count_nonzero(lab) > min_fg_pixels:
+                break
+        return ref_index
+
+    def __getitem__(self, idx):
+        seqname = self.seqs[idx % len(self.seqs)]
+        imagelist, lablist = self.imglistdic[seqname]
+        frame_num = len(imagelist)
+        if self.rand_reverse and self.rng.integers(2) == 1:
+            imagelist, lablist = imagelist[::-1], lablist[::-1]
+
+        sample = None
+        for _ in range(5):  # consistency retries (ref :152-182)
+            gaps = [int(self.rng.integers(self.rand_gap) + 1)
+                    for _ in range(self.curr_len)]
+            total_gap = sum(gaps)
+            search = len(lablist) - total_gap
+            prev_index = int(self.rng.integers(search)) if search > 1 else 0
+            prev_img, prev_lab = self._get_image_label(
+                seqname, imagelist, lablist, prev_index)
+
+            curr_imgs, curr_labs, objs = [], [], set(np.unique(prev_lab))
+            now = prev_index
+            for gap in gaps:
+                now += gap
+                ci = self._check_index(len(lablist), now)
+                im, la = self._get_image_label(seqname, imagelist, lablist, ci)
+                curr_imgs.append(im)
+                curr_labs.append(la)
+                objs |= set(np.unique(la))
+
+            ref_index = self._ref_index(seqname, lablist)
+            ref_img, ref_lab = self._get_image_label(
+                seqname, imagelist, lablist, ref_index)
+            ref_objs = set(np.unique(ref_lab))
+
+            if all(o in ref_objs for o in objs if o != 0):
+                sample = (ref_img, ref_lab, prev_img, prev_lab,
+                          curr_imgs, curr_labs, ref_objs)
+                break
+            sample = (ref_img, ref_lab, prev_img, prev_lab,
+                      curr_imgs, curr_labs, ref_objs)
+
+        ref_img, ref_lab, prev_img, prev_lab, curr_imgs, curr_labs, ref_objs = sample
+        out = {
+            "ref_img": ref_img, "prev_img": prev_img, "curr_img": curr_imgs,
+            "ref_label": ref_lab, "prev_label": prev_lab,
+            "curr_label": curr_labs,
+            "meta": {"seq_name": seqname, "frame_num": frame_num,
+                     "obj_num": int(max(ref_objs))},
+        }
+        if self.transform is not None:
+            out = self.transform(out)
+        return out
+
+
+class DAVISTrain(VOSTrain):
+    def __init__(self, root, split=("train",), transform=None,
+                 full_resolution=False, repeat_time=30, rand_gap=3,
+                 curr_len=3, rand_reverse=True, rgb=True, seed=None):
+        resolution = "Full-Resolution" if full_resolution else "480p"
+        image_root = os.path.join(root, "JPEGImages", resolution)
+        label_root = os.path.join(root, "Annotations", resolution)
+        seq_names = []
+        for sp in split:
+            with open(os.path.join(root, "ImageSets", "2017",
+                                   sp + ".txt")) as f:
+                seq_names.extend(x.strip() for x in f if x.strip())
+        imglistdic = {}
+        for seq in seq_names:
+            images = sorted(os.listdir(os.path.join(image_root, seq)))
+            labels = sorted(os.listdir(os.path.join(label_root, seq)))
+            imglistdic[seq] = (images, labels)
+        super().__init__(image_root, label_root, imglistdic, transform, rgb,
+                         repeat_time, rand_gap, curr_len, rand_reverse, seed)
+
+
+class YTBVOSTrain(VOSTrain):
+    def __init__(self, root, transform=None, rand_gap=3, curr_len=3,
+                 rand_reverse=True, rgb=True, seed=None):
+        image_root = os.path.join(root, "JPEGImages")
+        label_root = os.path.join(root, "Annotations")
+        with open(os.path.join(root, "meta.json")) as f:
+            meta = json.load(f)["videos"]
+        imglistdic = {}
+        for seq, info in meta.items():
+            frames = set()
+            for obj in info["objects"].values():
+                if len(obj["frames"]) < 2:
+                    continue  # ref :287 skips <2-frame objects
+                frames.update(obj["frames"])
+            frames = sorted(frames)
+            if len(frames) < 2:
+                continue
+            imglistdic[seq] = ([f + ".jpg" for f in frames],
+                               [f + ".png" for f in frames])
+        super().__init__(image_root, label_root, imglistdic, transform, rgb,
+                         1, rand_gap, curr_len, rand_reverse, seed)
+
+
+class SyntheticTrain:
+    """The reference TEST dataset (:296-319): fake constant samples —
+    a full-train-loop smoke test needing no downloads."""
+
+    def __init__(self, size=(465, 465), curr_len=3, length=3000,
+                 transform=None, obj_num=2, seed=0):
+        self.size = size
+        self.curr_len = curr_len
+        self.length = length
+        self.transform = transform
+        self.obj_num = obj_num
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.length
+
+    def _frame(self):
+        h, w = self.size
+        img = self.rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        lab = np.zeros((h, w), np.uint8)
+        for o in range(1, self.obj_num + 1):
+            y = (h // (self.obj_num + 1)) * o
+            lab[y - h // 8: y + h // 8, w // 4: 3 * w // 4] = o
+        return img, lab
+
+    def __getitem__(self, idx):
+        ref_img, ref_lab = self._frame()
+        prev_img, prev_lab = self._frame()
+        currs = [self._frame() for _ in range(self.curr_len)]
+        sample = {
+            "ref_img": ref_img, "prev_img": prev_img,
+            "curr_img": [c[0] for c in currs],
+            "ref_label": ref_lab, "prev_label": prev_lab,
+            "curr_label": [c[1] for c in currs],
+            "meta": {"seq_name": f"fake{idx}", "frame_num": 10,
+                     "obj_num": self.obj_num},
+        }
+        if self.transform is not None:
+            sample = self.transform(sample)
+        return sample
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+class VOSTestSeq:
+    """One eval sequence: frames + sparse labels + incremental object
+    bookkeeping (ref :368-493)."""
+
+    def __init__(self, image_root, label_root, seq_name, images, labels,
+                 rgb=True, single_obj=False,
+                 frame_transform: Optional[Callable] = None):
+        self.image_root = image_root
+        self.label_root = label_root
+        self.seq_name = seq_name
+        self.images = images          # list of image filenames
+        self.labels = labels          # list of label filenames (subset)
+        self.rgb = rgb
+        self.single_obj = single_obj
+        self.frame_transform = frame_transform
+        label_set = set(labels)
+        # incremental obj_num per frame (ref :382-414)
+        self.obj_nums = []
+        self.obj_lists = []
+        cur_objs: List[int] = []
+        cur_num = 0
+        for img in images:
+            lab_name = os.path.splitext(img)[0] + ".png"
+            if lab_name in label_set:
+                lab = _read_label(os.path.join(label_root, seq_name, lab_name))
+                if single_obj:
+                    lab = (lab > 0).astype(np.uint8)
+                ids = [int(x) for x in np.unique(lab) if x != 0]
+                for i in ids:
+                    if i not in cur_objs:
+                        cur_objs.append(i)
+                cur_num = max([cur_num] + ids) if ids else cur_num
+            self.obj_nums.append(cur_num)
+            self.obj_lists.append(list(cur_objs))
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        img_name = self.images[idx]
+        img = _read_image(os.path.join(self.image_root, self.seq_name,
+                                       img_name), self.rgb)
+        if self.frame_transform is not None:
+            img = self.frame_transform(img)
+        h, w = img.shape[:2]
+        sample = {
+            "current_img": img,
+            "meta": {"seq_name": self.seq_name, "frame_num": len(self.images),
+                     "obj_num": self.obj_nums[idx],
+                     "obj_list": self.obj_lists[idx],
+                     "current_name": img_name, "height": h, "width": w},
+        }
+        lab_name = os.path.splitext(img_name)[0] + ".png"
+        if lab_name in self.labels:
+            lab = _read_label(os.path.join(self.label_root, self.seq_name,
+                                           lab_name))
+            if self.single_obj:
+                lab = (lab > 0).astype(np.uint8)
+            sample["current_label"] = lab
+        return sample
+
+
+class DAVISTest:
+    """DAVIS 2016/2017 eval (ref :674-723)."""
+
+    def __init__(self, root, split=("val",), year=2017, full_resolution=False,
+                 rgb=True, frame_transform=None):
+        resolution = "Full-Resolution" if full_resolution else "480p"
+        self.image_root = os.path.join(root, "JPEGImages", resolution)
+        self.label_root = os.path.join(root, "Annotations", resolution)
+        self.single_obj = year == 2016
+        self.rgb = rgb
+        self.frame_transform = frame_transform
+        self.seqs = []
+        for sp in split:
+            with open(os.path.join(root, "ImageSets", str(year),
+                                   sp + ".txt")) as f:
+                self.seqs.extend(x.strip() for x in f if x.strip())
+
+    def __len__(self):
+        return len(self.seqs)
+
+    def __getitem__(self, idx):
+        seq = self.seqs[idx]
+        images = sorted(os.listdir(os.path.join(self.image_root, seq)))
+        labels = [os.path.splitext(images[0])[0] + ".png"]
+        return VOSTestSeq(self.image_root, self.label_root, seq, images,
+                          labels, self.rgb, self.single_obj,
+                          self.frame_transform)
+
+
+class YTBVOSTest:
+    """YouTube-VOS eval via meta.json (ref :622-671); ``use_all`` reads
+    meta_all.json / the all-frames image dir for 30-fps eval."""
+
+    def __init__(self, root, rgb=True, use_all=False, frame_transform=None,
+                 result_root=None):
+        self.image_root = os.path.join(root, "JPEGImages")
+        self.label_root = os.path.join(root, "Annotations")
+        meta_name = "meta_all.json" if use_all and os.path.exists(
+            os.path.join(root, "meta_all.json")) else "meta.json"
+        with open(os.path.join(root, meta_name)) as f:
+            self.meta = json.load(f)["videos"]
+        self.seqs = sorted(self.meta.keys())
+        self.rgb = rgb
+        self.use_all = use_all
+        self.frame_transform = frame_transform
+        self.result_root = result_root
+
+    def __len__(self):
+        return len(self.seqs)
+
+    def __getitem__(self, idx):
+        seq = self.seqs[idx]
+        info = self.meta[seq]["objects"]
+        if self.use_all:
+            images = sorted(os.listdir(os.path.join(self.image_root, seq)))
+        else:
+            frames = set()
+            for obj in info.values():
+                frames.update(obj["frames"])
+            images = [f + ".jpg" for f in sorted(frames)]
+        labels = sorted(os.listdir(os.path.join(self.label_root, seq)))
+        seq_ds = VOSTestSeq(self.image_root, self.label_root, seq, images,
+                            labels, self.rgb, False, self.frame_transform)
+        # copy first-frame GT into result dir (ref :655-658)
+        if self.result_root is not None and labels:
+            import shutil
+            dst = os.path.join(self.result_root, seq)
+            os.makedirs(dst, exist_ok=True)
+            src = os.path.join(self.label_root, seq, labels[0])
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(dst, labels[0]))
+        return seq_ds
+
+
+class SyntheticEval:
+    """The reference EVAL_TEST fixture (:321-366): 3 fake 10-frame
+    sequences — a streaming-eval smoke test with random weights."""
+
+    def __init__(self, size=(129, 129), n_seqs=3, n_frames=10, obj_num=2,
+                 frame_transform=None, seed=0):
+        self.size = size
+        self.n_seqs = n_seqs
+        self.n_frames = n_frames
+        self.obj_num = obj_num
+        self.frame_transform = frame_transform
+        self.seed = seed
+
+    def __len__(self):
+        return self.n_seqs
+
+    def __getitem__(self, idx):
+        return _SyntheticSeq(f"test{idx + 1}", self.size, self.n_frames,
+                             self.obj_num, self.frame_transform,
+                             self.seed + idx)
+
+
+class _SyntheticSeq:
+    def __init__(self, seq_name, size, n_frames, obj_num, frame_transform,
+                 seed):
+        self.seq_name = seq_name
+        self.size = size
+        self.n_frames = n_frames
+        self.obj_num = obj_num
+        self.frame_transform = frame_transform
+        self.rng = np.random.default_rng(seed)
+        self.obj_nums = [obj_num] * n_frames
+        self.obj_lists = [list(range(1, obj_num + 1))] * n_frames
+        self.images = [f"{i:05d}.jpg" for i in range(n_frames)]
+
+    def __len__(self):
+        return self.n_frames
+
+    def __getitem__(self, idx):
+        h, w = self.size
+        img = self.rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        if self.frame_transform is not None:
+            img = self.frame_transform(img)
+        sample = {
+            "current_img": img,
+            "meta": {"seq_name": self.seq_name, "frame_num": self.n_frames,
+                     "obj_num": self.obj_num,
+                     "obj_list": list(range(1, self.obj_num + 1)),
+                     "current_name": self.images[idx],
+                     "height": h, "width": w},
+        }
+        if idx == 0:
+            lab = np.zeros((h, w), np.uint8)
+            for o in range(1, self.obj_num + 1):
+                y = (h // (self.obj_num + 1)) * o
+                lab[max(0, y - h // 8): y + h // 8, w // 4: 3 * w // 4] = o
+            sample["current_label"] = lab
+        return sample

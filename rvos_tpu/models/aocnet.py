@@ -1,0 +1,220 @@
+"""AOC-Net — adaptive object proxies + conditional mask calibration.
+
+Reference: ``networks/aoc/aocnet.py``.  The reference runs a Python loop
+over batch items and dynamic object counts (``aocnet.py:140``); here a
+single static-shape ``segment_frame`` handles one (frame, object-set)
+with a padded ``MAX_OBJ`` axis + validity mask, and the engine vmaps it
+over the batch.  Train (one reference frame) and eval (RPA bank) share
+the same code path: the bank is [S, h, w, ·] with per-slot validity —
+train passes S=1.
+
+Matching-map concat order (``aocnet.py:355-358``):
+  global_fg(1) | global_cluster(2) | global_proxy(1) | local_fg(6) |
+  local_proxy(6) | prev_mask(1) | [local_bg(6) | global_bg(1)]
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import Config
+from ..ops import (
+    attention_heads,
+    cluster_matching,
+    cluster_objects,
+    foreground2background,
+    global_matching_bank,
+    local_matching_bank,
+    proxy_matching,
+    proxy_reconstructed_embedding,
+)
+from .decoder import CalibrationDecoding, DecoderMemory
+from .deeplab import DeepLab
+from .layers import DynamicPreHead
+
+
+class SemanticEmbedding(nn.Module):
+    """Depthwise 3×3 + GN + 1×1 (256→emb) + GN (aocnet.py:19-25)."""
+    aspp_dim: int = 256
+    embedding_dim: int = 100
+    gn_groups: int = 32
+    gn_emb_groups: int = 25
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.aspp_dim, (3, 3), padding=1,
+                    feature_group_count=self.aspp_dim,
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="seperate_conv")(x)
+        x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.embedding_dim, (1, 1),
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="embedding_conv")(x)
+        x = nn.GroupNorm(num_groups=self.gn_emb_groups, epsilon=1e-5,
+                         name="bn2")(x)
+        return nn.relu(x)
+
+
+class AOCNet(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg
+        self.feature_extracter = DeepLab(c.MODEL_OUTPUT_STRIDE,
+                                         name="feature_extracter")
+        self.semantic_embedding = SemanticEmbedding(
+            c.MODEL_ASPP_OUTDIM, c.MODEL_SEMANTIC_EMBEDDING_DIM,
+            c.MODEL_GN_GROUPS, c.MODEL_GN_EMB_GROUPS,
+            name="semantic_embedding")
+        self.bg_bias = self.param("bg_bias", nn.initializers.zeros, (1,))
+        self.fg_bias = self.param("fg_bias", nn.initializers.zeros, (1,))
+        self.dynamic_prehead = DynamicPreHead(
+            c.MODEL_PRE_HEAD_EMBEDDING_DIM, name="dynamic_prehead")
+        self.dynamic_seghead = CalibrationDecoding(
+            in_dim=c.MODEL_SEMANTIC_EMBEDDING_DIM + c.MODEL_PRE_HEAD_EMBEDDING_DIM,
+            attention_dim=c.attention_head_dim,
+            embed_dim=c.MODEL_HEAD_EMBEDDING_DIM,
+            refine_dim=c.MODEL_REFINE_CHANNELS,
+            low_level_dim=c.MODEL_LOW_LEVEL_INPLANES,
+            beta_percentage=c.MODEL_BETA_PERCENTAGE,
+            name="dynamic_seghead")
+
+    # ------------------------------------------------------------------
+    def extract_feature(self, imgs, deterministic: bool = True):
+        """[N, H, W, 3] → (embedding [N, h4, w4, emb], low-level [N, h4, w4, 256])."""
+        feats, low_level = self.feature_extracter(imgs, deterministic)
+        emb = self.semantic_embedding(feats)
+        return emb, low_level
+
+    # ------------------------------------------------------------------
+    def dis_bias(self, n_obj: int) -> jnp.ndarray:
+        """[O] distance bias: background slot 0, foreground elsewhere
+        (aocnet.py:143-146)."""
+        return jnp.concatenate(
+            [self.bg_bias, jnp.broadcast_to(self.fg_bias, (n_obj - 1,))])
+
+    # ------------------------------------------------------------------
+    def segment_frame(
+        self,
+        current_emb: jnp.ndarray,     # [h, w, C]
+        current_low: jnp.ndarray,     # [h, w, 256]
+        ref_emb_bank: jnp.ndarray,    # [S, h, w, C]
+        ref_onehot: jnp.ndarray,      # [S, h, w, O]
+        slot_valid: jnp.ndarray,      # [S]
+        prev_emb: jnp.ndarray,        # [h, w, C]
+        prev_onehot: jnp.ndarray,     # [h, w, O]
+        obj_valid: jnp.ndarray,       # [O]
+        memory: DecoderMemory,
+        kmeans_key: jax.Array,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, DecoderMemory]:
+        """One frame's matching + calibration decode → logits [O, h4, w4]."""
+        c = self.cfg
+        h, w, _ = current_emb.shape
+        o = ref_onehot.shape[-1]
+        bias = self.dis_bias(o)
+        dtype = jnp.bfloat16 if c.MATCHING_DTYPE == "bfloat16" else jnp.float32
+        g_atrous = c.TRAIN_GLOBAL_ATROUS_RATE if train else c.TEST_GLOBAL_ATROUS_RATE
+        l_atrous = c.TRAIN_LOCAL_ATROUS_RATE if train else c.TEST_LOCAL_ATROUS_RATE
+        use_pallas = c.USE_PALLAS and jax.default_backend() == "tpu"
+
+        # masked slots/objects never contribute
+        ref_onehot = ref_onehot * obj_valid[None, None, None, :]
+        prev_onehot = prev_onehot * obj_valid[None, None, :]
+
+        # 1. global pixel matching (aocnet.py:161-205)
+        global_fg = global_matching_bank(
+            current_emb, ref_emb_bank, ref_onehot, slot_valid, bias,
+            atrous_rate=g_atrous, dtype=dtype, use_pallas=use_pallas)
+
+        # 2. AOP cluster matching (aocnet.py:207-251)
+        s = ref_emb_bank.shape[0]
+        flat_emb = ref_emb_bank.reshape(s * h * w, -1)
+        flat_lab = (ref_onehot * slot_valid[:, None, None, None]
+                    ).reshape(s * h * w, o)
+        banks = cluster_objects(flat_emb, flat_lab, kmeans_key,
+                                k=c.MODEL_CLUSTER_NUM,
+                                iters=c.MODEL_KMEANS_ITERS)
+        global_cluster = cluster_matching(current_emb, banks, bias, dtype=dtype)
+
+        # 3. local matching (aocnet.py:253-264)
+        local_fg = local_matching_bank(
+            current_emb, prev_emb, prev_onehot, bias,
+            c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
+            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=dtype)
+
+        # 4. instance proxies + proxy matching (aocnet.py:270-337)
+        heads = attention_heads(ref_emb_bank, ref_onehot, slot_valid,
+                                prev_emb, prev_onehot, c.MODEL_EPSILON)
+        global_proxy = proxy_matching(current_emb, heads.ref_pos, bias,
+                                      dtype=dtype)
+        prev_emb_inst = proxy_reconstructed_embedding(prev_onehot,
+                                                      heads.prev_pos)
+        local_proxy = local_matching_bank(
+            current_emb, prev_emb_inst, prev_onehot, bias,
+            c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
+            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=dtype)
+
+        # 5. concat in reference channel order (aocnet.py:349-358)
+        parts = [global_fg, global_cluster, global_proxy, local_fg,
+                 local_proxy, prev_onehot[..., None]]
+        if c.MODEL_MATCHING_BACKGROUND:
+            parts.append(foreground2background(local_fg, obj_valid))
+            parts.append(foreground2background(global_fg, obj_valid))
+        maps = jnp.concatenate(parts, axis=-1)        # [h, w, O, n_ch]
+        maps = jnp.transpose(maps, (2, 0, 1, 3))      # [O, h, w, n_ch]
+
+        # 6. prehead + decoder (aocnet.py:360-367)
+        pre = self.dynamic_prehead(maps)
+        cur = jnp.broadcast_to(current_emb[None], (o,) + current_emb.shape)
+        x = jnp.concatenate([cur, pre], axis=-1)
+        logits, new_memory = self.dynamic_seghead(
+            x, heads.total_head, memory, current_low[None], obj_valid)
+
+        # invalid object channels can never win the softmax/argmax
+        logits = jnp.where(obj_valid[:, None, None].astype(bool), logits, -1e9)
+        return logits, new_memory
+
+    # convenience entry for jit/compile checks --------------------------------
+    def __call__(self, imgs, deterministic: bool = True):
+        return self.extract_feature(imgs, deterministic)
+
+    def full_forward(self, imgs, labels, deterministic: bool = True):
+        """Touch every submodule once (init / compile-check path).
+
+        imgs: [3, H, W, 3] (ref, prev, cur); labels: [H4, W4] int at the
+        embedding resolution.  Returns logits [O, h4, w4].
+        """
+        o = self.cfg.MODEL_MAX_OBJ_NUM
+        emb, low = self.extract_feature(imgs, deterministic)
+        h, w = emb.shape[1], emb.shape[2]
+        onehot = jax.nn.one_hot(labels, o, dtype=emb.dtype)
+        memory = DecoderMemory.empty(o, (h + 1) // 2, (w + 1) // 2,
+                                     self.cfg.MODEL_HEAD_EMBEDDING_DIM,
+                                     emb.dtype)
+        logits, _ = self.segment_frame(
+            emb[2], low[2], emb[0][None], onehot[None],
+            jnp.ones((1,), emb.dtype), emb[1], onehot,
+            jnp.ones((o,), emb.dtype), memory, jax.random.PRNGKey(0), False)
+        return logits
+
+
+def init_model(cfg: Config, rng: jax.Array, spatial: Tuple[int, int] = (65, 65)):
+    """Initialize a complete AOCNet variable tree (all submodules)."""
+    model = AOCNet(cfg)
+    h, w = spatial
+    imgs = jnp.zeros((3, h, w, 3), jnp.float32)
+    h4 = (h + 3) // 4
+    w4 = (w + 3) // 4
+    # probe the true embedding resolution first
+    feat_vars = model.init({"params": rng}, imgs, method=AOCNet.extract_feature)
+    emb, _ = model.apply(feat_vars, imgs, method=AOCNet.extract_feature)
+    labels = jnp.zeros(emb.shape[1:3], jnp.int32)
+    variables = model.init({"params": rng}, imgs, labels,
+                           method=AOCNet.full_forward)
+    return model, variables

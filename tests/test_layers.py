@@ -1,0 +1,110 @@
+"""Decoder building blocks: value parity with torch oracles where the
+reference math is unambiguous, shape/masking invariants elsewhere."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from rvos_tpu.models.layers import (
+    GCT,
+    ConditioningBlock,
+    ConditioningLayer,
+    DynamicPreHead,
+    GNASPP,
+    GNBottleneck,
+    IAGate,
+)
+
+
+def test_gct_matches_torch_formula(rng):
+    o, h, w, c = 2, 5, 6, 8
+    x = rng.standard_normal((o, h, w, c)).astype(np.float32)
+    m = GCT(c)
+    var = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # randomize params
+    alpha = rng.standard_normal((1, 1, 1, c)).astype(np.float32)
+    gamma = rng.standard_normal((1, 1, 1, c)).astype(np.float32)
+    beta = rng.standard_normal((1, 1, 1, c)).astype(np.float32)
+    var = {"params": {"alpha": jnp.asarray(alpha), "gamma": jnp.asarray(gamma),
+                      "beta": jnp.asarray(beta)}}
+    got = np.asarray(m.apply(var, jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+    a = torch.from_numpy(alpha).permute(0, 3, 1, 2)
+    g = torch.from_numpy(gamma).permute(0, 3, 1, 2)
+    b = torch.from_numpy(beta).permute(0, 3, 1, 2)
+    eps = 1e-5
+    embedding = (xt.pow(2).sum((2, 3), keepdim=True) + eps).pow(0.5) * a
+    norm = g / (embedding.pow(2).mean(dim=1, keepdim=True) + eps).pow(0.5)
+    want = (xt * (1.0 + torch.tanh(embedding * norm + b))).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-4)
+
+
+def test_ia_gate_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((3, 4, 5, 16)).astype(np.float32))
+    head = jnp.asarray(rng.standard_normal((3, 40)).astype(np.float32))
+    m = IAGate(16)
+    var = m.init(jax.random.PRNGKey(0), x, head)
+    y = m.apply(var, x, head)
+    assert y.shape == x.shape
+
+
+def test_bottleneck_stride_and_dims(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 256)).astype(np.float32))
+    m = GNBottleneck(256, 512, stride=2, dilation=1)      # ref layer3
+    var = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(var, x)
+    assert y.shape == (2, 4, 4, 512)
+    m2 = GNBottleneck(256, 256, stride=1, dilation=2)     # ref layer2
+    var2 = m2.init(jax.random.PRNGKey(0), x)
+    assert m2.apply(var2, x).shape == (2, 8, 8, 256)
+
+
+def test_gnaspp_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 512)).astype(np.float32))
+    m = GNASPP(512)
+    var = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(var, x)
+    assert y.shape == (2, 7, 9, 256)
+
+
+def test_conditioning_layer_topk_mask(rng):
+    """Strict top-β masked GAP divided by full support (ref :42-43)."""
+    o, h, w, c = 1, 4, 5, 6
+    x = rng.standard_normal((o, h, w, c)).astype(np.float32)
+    m = ConditioningLayer(c, beta_percentage=0.3)
+    var = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(m.apply(var, jnp.asarray(x)))
+    # oracle with the module's own params
+    pw = np.asarray(var["params"]["phi_layer"]["kernel"]).reshape(c, 1)
+    pb = np.asarray(var["params"]["phi_layer"]["bias"])
+    mw = np.asarray(var["params"]["mlp_layer"]["kernel"])
+    mb = np.asarray(var["params"]["mlp_layer"]["bias"])
+    phi = x.reshape(o, h * w, c) @ pw + pb                   # [O, HW, 1]
+    k = max(1, int(0.3 * h * w))
+    kth = np.sort(phi[:, :, 0], axis=1)[:, -k][:, None]
+    mask = (phi[:, :, 0] > kth).astype(np.float32)
+    pooled = (x.reshape(o, h * w, c) * mask[..., None]).sum(1) / (h * w)
+    want = pooled @ mw + mb
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_conditioning_block_gates(rng):
+    o, h, w, c = 3, 6, 6, 16
+    x = jnp.asarray(rng.standard_normal((o, h, w, c)).astype(np.float32))
+    head = jnp.asarray(rng.standard_normal((o, 40)).astype(np.float32))
+    valid = jnp.asarray(np.array([1.0, 1.0, 0.0], np.float32))
+    m = ConditioningBlock(c, proxy_dim=40)
+    var = m.init(jax.random.PRNGKey(0), x, head, valid)
+    y = m.apply(var, x, head, valid)
+    assert y.shape == x.shape
+    # gate is bounded in (0, 2): |y| <= 2|x|
+    assert np.all(np.abs(np.asarray(y)) <= 2.0 * np.abs(np.asarray(x)) + 1e-6)
+
+
+def test_prehead_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((4, 6, 7, 17)).astype(np.float32))
+    m = DynamicPreHead(64)
+    var = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(var, x).shape == (4, 6, 7, 64)

@@ -1,0 +1,66 @@
+"""End-to-end model tests on tiny shapes (CPU): backbone feature shapes,
+segment_frame output contracts, memory threading, object masking."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rvos_tpu.configs import tiny_test
+from rvos_tpu.models import AOCNet, DecoderMemory
+from rvos_tpu.models.aocnet import init_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test(MODEL_MULTI_LOCAL_DISTANCE=(2, 4), MODEL_MAX_OBJ_NUM=3)
+    H = W = 33
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (H, W))
+    rng = np.random.default_rng(1)
+    return cfg, model, variables, rng, H, W
+
+
+def test_extract_feature_shapes(setup):
+    cfg, model, variables, rng, H, W = setup
+    imgs = jnp.zeros((2, H, W, 3))
+    emb, low = model.apply(variables, imgs, method=AOCNet.extract_feature)
+    h4 = (H + 3) // 4 + (1 if (H % 4) == 1 else 0)  # conv arithmetic check below
+    assert emb.shape[0] == 2 and emb.shape[-1] == cfg.MODEL_SEMANTIC_EMBEDDING_DIM
+    assert low.shape[:3] == emb.shape[:3] and low.shape[-1] == 256
+
+
+def test_segment_frame_contract(setup):
+    cfg, model, seg_vars, rng, H, W = setup
+    o = cfg.MODEL_MAX_OBJ_NUM
+    imgs = jnp.asarray(
+        np.random.default_rng(3).standard_normal((3, H, W, 3)).astype(np.float32))
+    emb, low = model.apply(seg_vars, imgs, method=AOCNet.extract_feature)
+    h, w = emb.shape[1:3]
+    lab = np.zeros((h, w), np.int32)
+    lab[1:4, 1:4] = 1
+    onehot = jnp.asarray(np.eye(o, dtype=np.float32)[lab])
+    mem = DecoderMemory.empty(o, (h + 1) // 2, (w + 1) // 2, 256)
+    obj_valid = jnp.asarray([1.0, 1.0, 0.0])
+
+    logits, new_mem = model.apply(
+        seg_vars, emb[2], low[2], emb[0][None], onehot[None],
+        jnp.ones((1,)), emb[1], onehot, obj_valid, mem,
+        jax.random.PRNGKey(7), False, method=AOCNet.segment_frame)
+
+    assert logits.shape == (o, h, w)
+    assert np.all(np.isfinite(np.asarray(logits[:2])))
+    # invalid object masked to -1e9
+    assert np.all(np.asarray(logits[2]) <= -1e8)
+    # memory threaded and now valid
+    assert bool(new_mem.valid[0]) and bool(new_mem.valid[1])
+    assert new_mem.slots.shape[0] == 2
+
+    # second frame with memory from first: must run and change slot 0
+    logits2, mem2 = model.apply(
+        seg_vars, emb[1], low[1], emb[0][None], onehot[None],
+        jnp.ones((1,)), emb[2], onehot, obj_valid, new_mem,
+        jax.random.PRNGKey(8), False, method=AOCNet.segment_frame)
+    assert logits2.shape == (o, h, w)
+    # slot 1 sticky (decoding_module.py:148)
+    np.testing.assert_allclose(np.asarray(mem2.slots[1]),
+                               np.asarray(new_mem.slots[1]), atol=0)
