@@ -1,0 +1,94 @@
+"""Benchmark: multi-object 480p streaming VOS inference throughput on
+one TPU chip.
+
+Prints one JSON line:
+  {"metric": "480p_multiobj_fps", "value": N, "unit": "frames/sec/chip",
+   "vs_baseline": N/30}
+
+Baseline (BASELINE.json north-star): ≥30 fps multi-object 480p
+inference on one TPU-v5e chip.  The measured step is the full per-frame
+device pipeline of the streaming evaluator: backbone + semantic
+embedding → global/cluster/local/proxy matching over a 4-slot memory
+bank → calibration decoding → upsample + softmax, at DAVIS-480p eval
+resolution (854×480 → snapped 849×481) with 3 objects + background.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rvos_tpu.configs import resnet101_aocnet
+    from rvos_tpu.data.transforms import restrict_size
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models.aocnet import init_model
+
+    on_tpu = jax.default_backend() == "tpu"
+    # DAVIS 480p frame, snapped to the (x-1)%16==0 grid
+    H, W = restrict_size(480, 854, 800 * 1.3)
+    n_obj = 4                      # background + 3 objects
+    bank = 4
+
+    cfg = resnet101_aocnet().replace(
+        MODEL_MAX_OBJ_NUM=n_obj,
+        TEST_BANK_CAPACITY=bank,
+        USE_PALLAS=on_tpu,
+        MATCHING_DTYPE="float32",
+    )
+    if not on_tpu:                 # CPU smoke: shrink
+        H, W = 129, 129
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                  (min(H, 65), min(W, 65)))
+    ev = Evaluator(cfg, model, variables)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((H, W, 3)).astype(np.float32))
+    emb, low = ev._embed(img)
+    h, w, c = emb.shape
+
+    from rvos_tpu.engine.eval import _AugState
+    st = _AugState(bank, h, w, c, n_obj, ((h + 1) // 2, (w + 1) // 2),
+                   cfg.MODEL_HEAD_EMBEDDING_DIM)
+    lab = np.zeros((h, w), np.int32)
+    lab[h // 4: h // 2, w // 4: w // 2] = 1
+    lab[h // 2: 3 * h // 4, w // 4: w // 2] = 2
+    lab[h // 4: h // 2, w // 2: 3 * w // 4] = 3
+    for s in range(bank):
+        st.add_ref(emb, jnp.asarray(lab), first=(s == 0))
+    st.prev_emb = emb
+    st.prev_lab = jnp.asarray(lab)
+    obj_valid = jnp.ones((n_obj,))
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    probs, emb_out, ms, mv = ev._step(img, st, obj_valid, key, (480, 854))
+    jax.block_until_ready(probs)
+
+    n_iters = 20 if on_tpu else 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        probs, emb_out, ms, mv = ev._step(
+            img, st, obj_valid, jax.random.fold_in(key, i), (480, 854))
+    jax.block_until_ready(probs)
+    dt = (time.perf_counter() - t0) / n_iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "480p_multiobj_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Evaluation CLI — flag parity with ``tools/eval_net_mm_rpa.py:7-78``
+(the RPA evaluator), plus ``--perturb`` for the Robust-VOS-Benchmark
+``image_type`` 0-9 and ``--synthetic`` for the EVAL_TEST smoke path."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Eval AOC-Net (TPU, RPA)")
+    p.add_argument("--exp_name", type=str, default="")
+    p.add_argument("--config", type=str, default="resnet101_aocnet")
+    p.add_argument("--ckpt_path", type=str, default="")
+    p.add_argument("--ckpt_step", type=int, default=-1)
+    p.add_argument("--dataset", type=str, default="")
+    p.add_argument("--flip", action="store_true")
+    p.add_argument("--ms", nargs="+", type=float, default=[1.0])
+    p.add_argument("--max_long_edge", type=int, default=-1)
+    p.add_argument("--mem_every", type=int, default=-1)
+    p.add_argument("--ucr", type=float, default=1.0)
+    p.add_argument("--float16", action="store_true")
+    p.add_argument("--global_atrous_rate", type=int, default=1)
+    p.add_argument("--global_chunks", type=int, default=4)
+    p.add_argument("--perturb", type=int, default=0,
+                   help="Robust-VOS-Benchmark image_type (0-9)")
+    p.add_argument("--davis_root", type=str, default="")
+    p.add_argument("--ytb_root", type=str, default="")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--out", type=str, default="")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..configs import get_config
+    from ..data.datasets import DAVISTest, SyntheticEval, YTBVOSTest
+    from ..data.perturb import get_perturbation
+    from ..engine.checkpoint import list_checkpoint_steps, restore_checkpoint
+    from ..engine.eval import Evaluator
+    from ..models.aocnet import init_model
+
+    cfg = get_config(args.config)
+    if args.exp_name:
+        cfg = cfg.replace(EXP_NAME=args.exp_name)
+    if args.dataset:
+        cfg = cfg.replace(TEST_DATASET=args.dataset)
+    if args.mem_every != -1 or True:
+        cfg = cfg.replace(MEM_EVERY=args.mem_every
+                          if args.mem_every != -1 else cfg.MEM_EVERY)
+    cfg = cfg.replace(
+        UNC_RATIO=args.ucr,
+        TEST_FLIP=args.flip,
+        TEST_MULTISCALE=tuple(args.ms),
+        MATCHING_DTYPE="bfloat16" if args.float16 else "float32",
+        TEST_GLOBAL_ATROUS_RATE=args.global_atrous_rate,
+        TEST_GLOBAL_CHUNKS=args.global_chunks,
+    )
+    if args.max_long_edge > 0:
+        cfg = cfg.replace(TEST_MAX_SIZE=float(args.max_long_edge))
+    else:
+        cfg = cfg.replace(TEST_MAX_SIZE=800 * 1.3
+                          if tuple(args.ms) == (1.0,) else 800.0)
+
+    frame_transform = (get_perturbation(args.perturb)
+                       if args.perturb else None)
+
+    if args.synthetic:
+        cfg = cfg.replace(MODEL_MAX_OBJ_NUM=4, TEST_BANK_CAPACITY=3)
+        dataset = SyntheticEval(size=(129, 129),
+                                frame_transform=frame_transform)
+        spatial = (65, 65)
+    elif cfg.TEST_DATASET.startswith("davis"):
+        year = 2016 if cfg.TEST_DATASET == "davis2016" else 2017
+        dataset = DAVISTest(args.davis_root or cfg.DIR_DAVIS,
+                            split=cfg.TEST_DATASET_SPLIT, year=year,
+                            full_resolution=cfg.TEST_DATASET_FULL_RESOLUTION,
+                            frame_transform=frame_transform)
+        spatial = (65, 65)
+    else:
+        root = args.ytb_root or cfg.DIR_YTB_EVAL
+        dataset = YTBVOSTest(root, use_all=cfg.TEST_DATASET == "youtubevos",
+                             frame_transform=frame_transform)
+        spatial = (65, 65)
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), spatial)
+    if args.ckpt_path or args.ckpt_step > 0:
+        from ..engine.train import TrainState
+        dirs = cfg.result_dirs()
+        ckpt_dir = args.ckpt_path or dirs["ckpt"]
+        try:
+            state, step = restore_checkpoint(
+                ckpt_dir, args.ckpt_step if args.ckpt_step > 0 else None,
+                TrainState(variables["params"], None, 0))
+            variables = {"params": state.params}
+            print(f"Loaded checkpoint step {step} from {ckpt_dir}")
+        except FileNotFoundError as e:
+            print(f"WARNING: {e}; evaluating with random weights")
+
+    eval_name = f"{cfg.TEST_DATASET}_{cfg.EXP_NAME}"
+    if cfg.TEST_FLIP:
+        eval_name += "_flip"
+    if len(cfg.TEST_MULTISCALE) > 1:
+        eval_name += "_ms_" + "_".join(str(s) for s in cfg.TEST_MULTISCALE)
+    eval_name += f"_m_{cfg.MEM_EVERY}_u_{cfg.UNC_RATIO}_r_{cfg.TEST_MAX_SIZE}_RPA"
+    if args.perturb:
+        eval_name += f"_p{args.perturb}"
+    out_root = args.out or os.path.join(cfg.result_dirs()["eval"],
+                                        eval_name, "Annotations")
+    os.makedirs(out_root, exist_ok=True)
+
+    ev = Evaluator(cfg, model, variables, out_root)
+    summary = ev.evaluating(dataset, save_root=out_root)
+    print(f"Total FPS: {summary['total_fps']:.2f}")
+
+    # zip for CodaLab submission (ref utils/eval.py:5-13)
+    from ..utils.eval_zip import zip_folder
+    zip_folder(out_root, out_root.rstrip("/") + ".zip")
+    print(f"Saved results to {out_root}")
+
+
+if __name__ == "__main__":
+    main()

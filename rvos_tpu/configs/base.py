@@ -126,6 +126,7 @@ class Config:
 
     # ---- TPU-native additions -------------------------------------------
     MODEL_MAX_OBJ_NUM: int = 11            # static object axis (incl. background)
+    TRAIN_SEQ_GRADIENT: str = "carry"      # "carry" | "detach" prev-embedding grad
     TEST_BANK_CAPACITY: int = 8            # fixed-capacity RPA bank (first frame pinned)
     MATCHING_DTYPE: str = "float32"        # "bfloat16" enables MXU-friendly matching
     USE_PALLAS: bool = True                # fused Pallas kernels on TPU backends

@@ -1,0 +1,135 @@
+"""Host-side prefetching loaders.
+
+The reference leans on torch ``DataLoader(num_workers=4, pin_memory)``
+(``train_manager_mm.py:163-178``, ``eval_manager_mm.py:180``).  TPU
+host loading is a thread problem, not a process problem (decode +
+numpy transforms release the GIL in cv2/PIL): ``PrefetchLoader`` wraps
+any indexable dataset with a bounded thread pool + reorder buffer so
+JPEG decode and augmentation overlap device compute; ``TrainBatcher``
+assembles the fixed-shape batch dict the jitted train step consumes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class PrefetchLoader:
+    """Ordered prefetch over dataset[i] for i in indices (threaded)."""
+
+    def __init__(self, dataset, indices: Optional[Sequence[int]] = None,
+                 num_workers: int = 2, prefetch: int = 4):
+        self.dataset = dataset
+        self.indices = list(indices) if indices is not None \
+            else list(range(len(dataset)))
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __iter__(self) -> Iterator:
+        if self.num_workers == 1:
+            for i in self.indices:
+                yield self.dataset[i]
+            return
+
+        results: Dict[int, object] = {}
+        cond = threading.Condition()
+        next_submit = [0]
+        next_emit = [0]
+        n = len(self.indices)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                with cond:
+                    while (next_submit[0] >= n or
+                           next_submit[0] - next_emit[0] >= self.prefetch):
+                        if next_submit[0] >= n or stop.is_set():
+                            return
+                        cond.wait(0.05)
+                        if stop.is_set():
+                            return
+                    my_idx = next_submit[0]
+                    next_submit[0] += 1
+                try:
+                    item = self.dataset[self.indices[my_idx]]
+                except Exception as e:  # surfaced at emit time
+                    item = e
+                with cond:
+                    results[my_idx] = item
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(n):
+                with cond:
+                    while i not in results:
+                        cond.wait(0.05)
+                    item = results.pop(i)
+                    next_emit[0] = i + 1
+                    cond.notify_all()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            with cond:
+                cond.notify_all()
+
+
+class TrainBatcher:
+    """Assemble fixed-shape numpy batches for the jitted train step.
+
+    Emits: ref/prev imgs [B,H,W,3] f32 normalized, curr imgs
+    [T,B,H,W,3], labels as int32 [B,H,W] / [T,B,H,W], obj_num [B].
+    """
+
+    def __init__(self, dataset, batch_size: int, transform: Callable,
+                 seed: int = 0, num_workers: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.transform = transform
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.random.default_rng(epoch_idx).permutation(len(self.dataset))
+        loader = PrefetchLoader(self.dataset, order,
+                                num_workers=self.num_workers,
+                                prefetch=2 * self.batch_size)
+        buf = []
+        for sample in loader:
+            buf.append(self.transform(sample))
+            if len(buf) == self.batch_size:
+                yield self._collate(buf)
+                buf = []
+
+    @staticmethod
+    def _collate(samples) -> Dict[str, np.ndarray]:
+        t = len(samples[0]["curr_img"])
+        out = {
+            "ref_img": np.stack([s["ref_img"] for s in samples]),
+            "prev_img": np.stack([s["prev_img"] for s in samples]),
+            "curr_img": np.stack(
+                [np.stack([s["curr_img"][i] for s in samples])
+                 for i in range(t)]),
+            "ref_label": np.stack([s["ref_label"] for s in samples]
+                                  ).astype(np.int32),
+            "prev_label": np.stack([s["prev_label"] for s in samples]
+                                   ).astype(np.int32),
+            "curr_label": np.stack(
+                [np.stack([s["curr_label"][i] for s in samples])
+                 for i in range(t)]).astype(np.int32),
+            "obj_num": np.array([s["meta"]["obj_num"] for s in samples],
+                                np.int32),
+        }
+        return out

@@ -1,0 +1,272 @@
+"""Streaming evaluator — the RPA (reliable proxy augmentation) loop.
+
+Reference: ``Evaluator.evaluating``
+(``networks/engine/eval_manager_mm.py:160-394``): per video, stream
+frames through ``forward_for_eval``; maintain a growing reference bank
+(first frame + every ``MEM_EVERY``-th predicted frame), filter stored
+masks by Shannon-entropy uncertainty (pixels > ``UNC_RATIO`` → label
+125, excluded from matching), splice in mid-video ground truth for
+YouTube-VOS new objects (``join_label``), average multi-scale/flip
+variants, save palette PNGs, report FPS.
+
+TPU-native re-design:
+
+* device side is ONE jitted step per (input-bucket, original-size)
+  pair: embed → match over the padded bank → decode → upsample →
+  softmax → argmax + entropy, all on device; only the frame goes up and
+  the label/entropy maps come down;
+* the unbounded reference list becomes a fixed-capacity bank
+  ([TEST_BANK_CAPACITY] slots + validity): slot 0 pins the first
+  (ground-truth) frame, the rest is a ring over later memories — the
+  matching cost is constant per frame instead of growing with video
+  length (the reference instead scales its chunk count,
+  ``matching.py:2416``);
+* per-aug-variant state (bank, prev, decoder memory) is a host dict of
+  device arrays; label bookkeeping (``label_all_list``, join_label)
+  stays on host exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config
+from ..data.transforms import eval_variants, normalize
+from ..models import AOCNet, DecoderMemory
+from ..ops.entropy import shannon_entropy
+from ..ops.resize import resize_hw
+from ..utils.image import save_mask
+from ..utils.meters import AverageMeter
+
+UNCERTAIN_LABEL = 125   # ref eval_manager_mm.py:346
+
+
+class _AugState:
+    """Per-variant streaming state (device arrays)."""
+
+    def __init__(self, capacity, h, w, c, o, mem_hw, head_dim):
+        self.ref_emb = jnp.zeros((capacity, h, w, c))
+        self.ref_lab = jnp.zeros((capacity, h, w), jnp.int32)
+        self.slot_valid = jnp.zeros((capacity,))
+        self.prev_emb = jnp.zeros((h, w, c))
+        self.prev_lab = jnp.zeros((h, w), jnp.int32)
+        self.memory = DecoderMemory.empty(o, mem_hw[0], mem_hw[1], head_dim)
+        self.ring_ptr = 1      # slot 0 pinned to the first frame
+        self.capacity = capacity
+
+    def add_ref(self, emb, lab, first=False):
+        if first:
+            slot = 0
+        else:
+            slot = self.ring_ptr
+            self.ring_ptr += 1
+            if self.ring_ptr >= self.capacity:
+                self.ring_ptr = 1
+        self.ref_emb = self.ref_emb.at[slot].set(emb)
+        self.ref_lab = self.ref_lab.at[slot].set(lab)
+        self.slot_valid = self.slot_valid.at[slot].set(1.0)
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, model: AOCNet, variables,
+                 result_root: str = ""):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.result_root = result_root
+        self.mem_every = cfg.MEM_EVERY
+        self.unc_ratio = cfg.UNC_RATIO
+        self._embed_jit = {}
+        self._step_jit = {}
+
+    # -- jitted device functions ------------------------------------------
+    def _embed(self, img):
+        key = img.shape
+        if key not in self._embed_jit:
+            self._embed_jit[key] = jax.jit(
+                lambda v, x: self.model.apply(
+                    v, x[None], True, method=AOCNet.extract_feature))
+        emb, low = self._embed_jit[key](self.variables, img)
+        return emb[0], low[0]
+
+    def _step(self, img, state: _AugState, obj_valid, frame_key, ori_hw):
+        key = (img.shape, tuple(ori_hw))
+        if key not in self._step_jit:
+            o = self.cfg.MODEL_MAX_OBJ_NUM
+
+            def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
+                   ov, mem_slots, mem_valid, k):
+                emb, low = self.model.apply(
+                    v, x[None], True, method=AOCNet.extract_feature)
+                emb, low = emb[0], low[0]
+                ref_onehot = jax.nn.one_hot(ref_lab, o)
+                prev_onehot = jax.nn.one_hot(prev_lab, o)
+                logits, new_mem = self.model.apply(
+                    v, emb, low, ref_emb, ref_onehot, slot_valid, prev_emb,
+                    prev_onehot, ov, DecoderMemory(mem_slots, mem_valid), k,
+                    False, method=AOCNet.segment_frame)
+                # upsample to original size then softmax (aocnet.py:103-106)
+                lg = jnp.transpose(logits, (1, 2, 0))
+                lg = resize_hw(lg, ori_hw, "bilinear")
+                probs = jax.nn.softmax(jnp.transpose(lg, (2, 0, 1)), axis=0)
+                return probs, emb, new_mem.slots, new_mem.valid
+
+            self._step_jit[key] = jax.jit(fn)
+        return self._step_jit[key](
+            self.variables, img, state.ref_emb, state.ref_lab,
+            state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
+            state.memory.slots, state.memory.valid, frame_key)
+
+    # -- label helpers -----------------------------------------------------
+    def _downscale_label(self, lab_full: np.ndarray, hw) -> np.ndarray:
+        lab = jnp.asarray(lab_full.astype(np.int32))[..., None]
+        return np.asarray(resize_hw(lab, hw, "nearest")[..., 0])
+
+    # -- main loop ---------------------------------------------------------
+    def evaluate_sequence(self, seq_dataset, save_dir: Optional[str] = None,
+                          verbose: bool = False) -> Dict:
+        cfg = self.cfg
+        o = cfg.MODEL_MAX_OBJ_NUM
+        states: List[_AugState] = []
+        label_all_list: List[int] = []
+        seq_time, seq_frames = 0.0, 0
+        results = {}
+
+        for frame_idx in range(len(seq_dataset)):
+            sample = seq_dataset[frame_idx]
+            t_start = time.time()
+            meta = sample["meta"]
+            ori_h, ori_w = meta["height"], meta["width"]
+            current_label_full = sample.get("current_label")
+            variants = eval_variants(
+                sample["current_img"], cfg.TEST_MAX_SIZE, cfg.TEST_MIN_SIZE,
+                cfg.TEST_FLIP, cfg.TEST_MULTISCALE)
+            obj_num = int(meta["obj_num"])
+            obj_valid = jnp.asarray(
+                (np.arange(o) <= obj_num).astype(np.float32))
+
+            if current_label_full is not None:
+                for lid in np.unique(current_label_full):
+                    if int(lid) not in label_all_list:
+                        label_all_list.append(int(lid))
+
+            all_probs = []
+            join_label = current_label_full if (
+                frame_idx > 0 and current_label_full is not None) else None
+
+            for aug_idx, var in enumerate(variants):
+                img = jnp.asarray(normalize(var["img"]))
+                if frame_idx == 0:
+                    emb, _ = self._embed(img)
+                    h, w = emb.shape[:2]
+                    mem_hw = ((h + 1) // 2, (w + 1) // 2)
+                    st = _AugState(cfg.TEST_BANK_CAPACITY, h, w,
+                                   emb.shape[-1], o, mem_hw,
+                                   cfg.MODEL_HEAD_EMBEDDING_DIM)
+                    lab = current_label_full
+                    if var["flip"]:
+                        lab = lab[:, ::-1]
+                    lab_small = self._downscale_label(lab, (h, w))
+                    st.add_ref(emb, jnp.asarray(lab_small), first=True)
+                    st.prev_emb = emb
+                    st.prev_lab = jnp.asarray(lab_small)
+                    states.append(st)
+                    continue
+
+                st = states[aug_idx]
+                frame_key = jax.random.fold_in(jax.random.PRNGKey(42),
+                                               frame_idx)
+                probs, emb, mem_slots, mem_valid = self._step(
+                    img, st, obj_valid, frame_key, (ori_h, ori_w))
+                st.memory = DecoderMemory(mem_slots, mem_valid)
+                st._last_emb = emb
+
+                probs_np = np.asarray(probs)
+                if var["flip"]:
+                    probs_np = probs_np[:, :, ::-1]
+                # zero never-seen labels (ref :252-266)
+                exist_mask = np.zeros(o, np.float32)
+                for lid in label_all_list:
+                    if lid < o:
+                        exist_mask[lid] = 1.0
+                probs_np = probs_np * exist_mask[:, None, None]
+                all_probs.append(probs_np)
+
+            if frame_idx == 0:
+                seq_time += time.time() - t_start
+                continue
+
+            mean_probs = np.mean(np.stack(all_probs), axis=0)
+            pred_label = np.argmax(mean_probs, axis=0).astype(np.uint8)
+
+            # join mid-video GT objects (ref :321-326)
+            if join_label is not None:
+                keep = join_label == 0
+                pred_label = np.where(keep, pred_label, join_label)
+
+            # uncertainty over existing channels (ref :306, :339-349)
+            exist_mask_j = jnp.asarray(exist_mask)
+            unc = np.asarray(shannon_entropy(jnp.asarray(mean_probs),
+                                             exist_mask_j))
+            uncertain = unc > self.unc_ratio
+            pred_conf = np.where(uncertain, UNCERTAIN_LABEL, pred_label)
+            if join_label is not None:
+                pred_conf = np.where(join_label == 0, pred_conf, join_label)
+
+            update_mem = (self.mem_every > -1 and
+                          frame_idx % self.mem_every == 0)
+            for aug_idx, var in enumerate(variants):
+                st = states[aug_idx]
+                lab = pred_label[:, ::-1] if var["flip"] else pred_label
+                conf = pred_conf[:, ::-1] if var["flip"] else pred_conf
+                h, w = st.prev_emb.shape[:2]
+                st.prev_lab = jnp.asarray(self._downscale_label(lab, (h, w)))
+                st.prev_emb = st._last_emb
+                if join_label is not None or update_mem:
+                    st.add_ref(st._last_emb,
+                               jnp.asarray(self._downscale_label(conf, (h, w))))
+
+            seq_time += time.time() - t_start
+            seq_frames += 1
+            results[meta["current_name"]] = pred_label
+            if save_dir is not None:
+                name = os.path.splitext(meta["current_name"])[0] + ".png"
+                save_mask(pred_label, os.path.join(save_dir, name))
+            if verbose:
+                print(f"Frame {meta['current_name']} obj={obj_num} "
+                      f"t={time.time() - t_start:.3f}s")
+
+        fps = seq_frames / max(seq_time, 1e-6)
+        return {"results": results, "fps": fps, "frames": seq_frames,
+                "time": seq_time}
+
+    def evaluating(self, dataset, save_root: Optional[str] = None,
+                   verbose: bool = True) -> Dict:
+        """Full-dataset loop with the reference's FPS accounting
+        (eval_manager_mm.py:385-391)."""
+        total_time, total_frames, total_sfps = 0.0, 0, 0.0
+        per_seq = {}
+        for seq_idx in range(len(dataset)):
+            seq = dataset[seq_idx]
+            save_dir = None
+            if save_root is not None:
+                save_dir = os.path.join(save_root, seq.seq_name)
+                os.makedirs(save_dir, exist_ok=True)
+            out = self.evaluate_sequence(seq, save_dir, verbose=False)
+            per_seq[seq.seq_name] = out["fps"]
+            total_time += out["time"]
+            total_frames += out["frames"]
+            total_sfps += out["fps"]
+            if verbose:
+                print(f"Seq {seq.seq_name} FPS: {out['fps']:.2f}, Total FPS: "
+                      f"{total_frames / max(total_time, 1e-6):.2f}, FPS per "
+                      f"Seq: {total_sfps / (seq_idx + 1):.2f}")
+        return {"per_seq_fps": per_seq,
+                "total_fps": total_frames / max(total_time, 1e-6)}

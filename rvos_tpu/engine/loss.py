@@ -1,0 +1,59 @@
+"""Hard-mining cross-entropy loss.
+
+Reference ``Concat_CrossEntropyLoss`` (``networks/layers/loss.py:52-97``):
+per-sample CE (ignore 255), top-k% hard pixel mining with k annealed
+from 100% → 15% over ``TRAIN_HARD_MINING_STEP``.  The dynamic k becomes
+a sort + prefix mask (XLA needs static shapes; a sort is one fused op).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def hard_mining_ce(
+    logits: jnp.ndarray,      # [O, H, W] (invalid objects pre-masked to -1e9)
+    labels: jnp.ndarray,      # [H, W] int (255 = ignore)
+    step: jnp.ndarray,        # scalar
+    top_k_percent: float = 0.15,
+    hard_mining_step: int = 50_000,
+) -> jnp.ndarray:
+    o, h, w = logits.shape
+    logp = jax.nn.log_softmax(logits, axis=0)             # [O, H, W]
+    ignore = labels == 255
+    lab = jnp.where(ignore, 0, labels)
+    pix_loss = -jnp.take_along_axis(logp, lab[None], axis=0)[0]
+    pix_loss = jnp.where(ignore, 0.0, pix_loss)           # ref: ignored → no loss
+    flat = pix_loss.reshape(-1)
+    n = flat.shape[0]
+
+    if hard_mining_step == 0:
+        k = jnp.asarray(int(top_k_percent * n), jnp.float32)
+    else:
+        ratio = jnp.minimum(1.0, step.astype(jnp.float32) / hard_mining_step)
+        k = jnp.floor((ratio * top_k_percent + (1.0 - ratio)) * n)
+    k = jnp.maximum(k, 1.0)
+
+    sorted_desc = jnp.sort(flat)[::-1]
+    idx = jnp.arange(n, dtype=jnp.float32)
+    mask = (idx < k).astype(flat.dtype)
+    return jnp.sum(sorted_desc * mask) / k
+
+
+def batched_iou(pred: jnp.ndarray, target: jnp.ndarray, obj_num: jnp.ndarray,
+                max_obj: int, epsilon: float = 1e-6) -> jnp.ndarray:
+    """Mean foreground IoU for train logging (``utils/metric.py:3-34``)."""
+    def one(p, t, n):
+        ids = jnp.arange(1, max_obj)
+        valid = ids <= n
+        pm = p[None] == ids[:, None, None]
+        tm = t[None] == ids[:, None, None]
+        inter = jnp.sum(pm & tm, axis=(1, 2)).astype(jnp.float32)
+        union = jnp.sum(pm | tm, axis=(1, 2)).astype(jnp.float32)
+        iou = (inter + epsilon) / (union + epsilon)
+        iou = jnp.where(valid, iou, 0.0)
+        cnt = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.where(n > 0, jnp.sum(iou) / cnt, 1.0)
+
+    return jnp.mean(jax.vmap(one)(pred, target, obj_num))

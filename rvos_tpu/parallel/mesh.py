@@ -1,0 +1,49 @@
+"""Device-mesh helpers for SPMD training/eval.
+
+The reference scales with one-process-per-GPU DDP + NCCL all-reduce
+(``tools/train_net_mm.py:72``, ``train_manager_mm.py:47-57``).  The TPU
+equivalent is declarative: build a ``jax.sharding.Mesh``, annotate the
+batch with ``PartitionSpec('data', ...)``, and XLA emits the gradient
+all-reduce over ICI (intra-slice) / DCN (multi-slice).  A second
+``model`` axis is reserved for context-parallel matching (sharding the
+query-pixel rows of global matching — see SURVEY.md §2.10) when a
+single video's bank outgrows one chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model <= n, (data, model, n)
+    arr = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, leading_batch: bool = True) -> NamedSharding:
+    spec = P("data") if leading_batch else P(None, "data")
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict, time_major_keys: Sequence[str] = (
+        "curr_img", "curr_label")) -> dict:
+    """Device-put a numpy batch with batch-dim sharding over 'data'."""
+    out = {}
+    for k, v in batch.items():
+        spec = P(None, "data") if k in time_major_keys else P("data")
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

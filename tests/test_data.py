@@ -1,0 +1,135 @@
+"""Data layer: transforms, synthetic datasets, perturbations, loader."""
+
+import numpy as np
+import pytest
+
+from rvos_tpu.data.datasets import SyntheticEval, SyntheticTrain
+from rvos_tpu.data.loader import PrefetchLoader, TrainBatcher
+from rvos_tpu.data.perturb import get_perturbation
+from rvos_tpu.data.transforms import (
+    balanced_random_crop,
+    eval_variants,
+    normalize,
+    random_hflip,
+    random_scale,
+    restrict_size,
+    snap_16,
+)
+
+
+def test_snap_16():
+    for x in (481, 497, 849, 465):
+        assert (snap_16(x) - 1) % 16 == 0
+    assert snap_16(481) == 481
+
+
+def test_restrict_size_davis480():
+    h, w = restrict_size(480, 854, 800 * 1.3)
+    assert (h - 1) % 16 == 0 and (w - 1) % 16 == 0
+    assert h == 481  # long edge under cap → only snapped
+
+
+def test_restrict_size_caps_long_edge():
+    h, w = restrict_size(1080, 1920, 800.0)
+    assert max(h, w) <= 800 + 16
+    assert (h - 1) % 16 == 0 and (w - 1) % 16 == 0
+
+
+def test_eval_variants_flip_and_scales(rng):
+    img = rng.uniform(0, 255, (480, 854, 3)).astype(np.float32)
+    vs = eval_variants(img, 800 * 1.3, None, True, (1.0, 1.3))
+    assert len(vs) == 4
+    assert vs[1]["flip"] and not vs[0]["flip"]
+    np.testing.assert_allclose(vs[1]["img"], vs[0]["img"][:, ::-1])
+
+
+def test_balanced_random_crop_relabels(rng):
+    h, w = 100, 120
+    lab = np.zeros((h, w), np.uint8)
+    lab[10:60, 10:60] = 3      # one big object with original id 3
+    sample = {
+        "ref_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "prev_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "curr_img": [rng.uniform(0, 255, (h, w, 3)).astype(np.float32)],
+        "ref_label": lab, "prev_label": lab, "curr_label": [lab],
+        "meta": {"obj_num": 3},
+    }
+    g = np.random.default_rng(0)
+    out = balanced_random_crop(sample, (80, 80), g)
+    assert out["ref_label"].shape == (80, 80)
+    ids = set(np.unique(out["ref_label"]))
+    assert ids <= {0, 1}          # id 3 remapped to 1
+    assert out["meta"]["obj_num"] in (0, 1)
+
+
+def test_train_sampling_shapes():
+    ds = SyntheticTrain(size=(40, 50), curr_len=3, length=5)
+    s = ds[0]
+    assert s["ref_img"].shape == (40, 50, 3)
+    assert len(s["curr_img"]) == 3
+    assert s["meta"]["obj_num"] == 2
+
+
+def test_batcher_collates():
+    ds = SyntheticTrain(size=(32, 32), curr_len=2, length=4)
+
+    def tf(s):
+        out = dict(s)
+        out["ref_img"] = normalize(s["ref_img"])
+        out["prev_img"] = normalize(s["prev_img"])
+        out["curr_img"] = [normalize(x) for x in s["curr_img"]]
+        return out
+
+    b = next(TrainBatcher(ds, 2, tf, num_workers=1).epoch(0))
+    assert b["ref_img"].shape == (2, 32, 32, 3)
+    assert b["curr_img"].shape == (2, 2, 32, 32, 3)
+    assert b["curr_label"].shape == (2, 2, 32, 32)
+    assert b["obj_num"].shape == (2,)
+
+
+def test_prefetch_loader_ordered():
+    data = list(range(37))
+    out = list(PrefetchLoader(data, num_workers=3, prefetch=5))
+    assert out == data
+
+
+@pytest.mark.parametrize("ptype", list(range(10)))
+def test_perturbations(rng, ptype):
+    img = rng.uniform(0, 255, (40, 60, 3)).astype(np.float32)
+    f = get_perturbation(ptype, np.random.default_rng(0))
+    out = f(img)
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    if ptype == 0:
+        np.testing.assert_array_equal(out, img)
+    elif ptype in (1, 2, 3):
+        assert not np.allclose(out, img)
+        assert out.min() >= 0 and out.max() <= 255
+    elif ptype in (7, 8, 9):
+        n_white = ((out == 255.0).all(axis=-1)).sum()
+        n_black = ((out == 0.0).all(axis=-1)).sum()
+        assert n_white + n_black > 0
+
+
+def test_synthetic_eval_structure():
+    ds = SyntheticEval(size=(33, 33), n_seqs=2, n_frames=5)
+    seq = ds[0]
+    s0 = seq[0]
+    assert "current_label" in s0
+    s1 = seq[1]
+    assert "current_label" not in s1
+    assert s1["meta"]["obj_num"] == 2
+
+
+def test_davis_metrics_sanity():
+    from rvos_tpu.utils.davis_metrics import evaluate_sequence, mean_jf
+    gt = [np.zeros((40, 40), np.uint8) for _ in range(4)]
+    for g in gt:
+        g[10:30, 10:30] = 1
+    perfect = evaluate_sequence(gt, gt, [1])
+    assert perfect[1]["J"] == 1.0 and perfect[1]["F"] == 1.0
+    shifted = [np.roll(g, 15, axis=1) for g in gt]
+    worse = evaluate_sequence(shifted, gt, [1])
+    assert worse[1]["J"] < 0.5
+    jf = mean_jf(perfect)
+    assert jf["J&F"] == 1.0

@@ -1,0 +1,81 @@
+"""Engine smoke tests on tiny shapes: train step runs and updates
+params; streaming evaluator produces masks over a synthetic video
+(reference TEST/EVAL_TEST fixtures, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rvos_tpu.configs import tiny_test
+from rvos_tpu.data.datasets import SyntheticEval, SyntheticTrain
+from rvos_tpu.data.loader import TrainBatcher
+from rvos_tpu.data.transforms import normalize
+from rvos_tpu.engine.train import Trainer
+
+
+def _tiny_cfg():
+    return tiny_test(
+        DATA_RANDOMCROP=(33, 33),
+        MODEL_MULTI_LOCAL_DISTANCE=(1, 2),
+        MODEL_MAX_OBJ_NUM=3,
+        DATA_CURR_SEQ_LEN=2,
+        TRAIN_TOP_K_PERCENT_PIXELS=0.15,
+        TRAIN_HARD_MINING_STEP=4,
+        TEST_MAX_SIZE=None,
+    )
+
+
+def _train_transform(sample):
+    out = dict(sample)
+    out["ref_img"] = normalize(sample["ref_img"])
+    out["prev_img"] = normalize(sample["prev_img"])
+    out["curr_img"] = [normalize(x) for x in sample["curr_img"]]
+    return out
+
+
+@pytest.mark.slow
+def test_train_step_updates_params():
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg, init_spatial=(33, 33))
+    ds = SyntheticTrain(size=(33, 33), curr_len=cfg.DATA_CURR_SEQ_LEN,
+                        length=4, obj_num=2)
+    batcher = TrainBatcher(ds, batch_size=1, transform=_train_transform,
+                           num_workers=1)
+    batch = next(batcher.epoch(0))
+    p0 = jax.tree.map(np.asarray, trainer.state.params)
+    m1 = trainer.train_step(batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m1["loss"]))
+    assert int(trainer.state.step) == 1
+    m2 = trainer.train_step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
+    # a trainable param changed
+    p1 = trainer.state.params
+    changed = jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+                           p0, p1)
+    mx = max(jax.tree.leaves(changed))
+    assert mx > 0
+    # frozen BN buffers untouched
+    bb = p0["feature_extracter"]["backbone"]["bn1"]
+    bb1 = trainer.state.params["feature_extracter"]["backbone"]["bn1"]
+    for k in ("running_mean", "running_var", "weight", "bias"):
+        np.testing.assert_array_equal(np.asarray(bb[k]), np.asarray(bb1[k]))
+
+
+@pytest.mark.slow
+def test_streaming_eval_synthetic(tmp_path):
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models.aocnet import init_model
+
+    cfg = _tiny_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
+    ev = Evaluator(cfg, model, variables)
+    ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=4, obj_num=2)
+    out = ev.evaluate_sequence(ds[0], save_dir=str(tmp_path))
+    assert out["frames"] == 3
+    for name, mask in out["results"].items():
+        assert mask.shape == (33, 33)
+        assert set(np.unique(mask)) <= {0, 1, 2}
+    # PNGs written
+    import os
+    assert len(os.listdir(tmp_path)) == 3
