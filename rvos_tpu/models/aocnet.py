@@ -27,11 +27,11 @@ from ..ops import (
     cluster_matching,
     cluster_objects,
     foreground2background,
-    global_matching_bank,
     local_matching_bank,
     proxy_matching,
     proxy_reconstructed_embedding,
 )
+from ..ops.matching import compact_reference_bank, global_matching_flat
 from .decoder import CalibrationDecoding, DecoderMemory
 from .deeplab import DeepLab
 from .layers import DynamicPreHead
@@ -127,16 +127,27 @@ class AOCNet(nn.Module):
         ref_onehot = ref_onehot * obj_valid[None, None, None, :]
         prev_onehot = prev_onehot * obj_valid[None, None, :]
 
+        # flatten the bank once; compact to foreground-union pixels
+        # (static-shape masked_select, matching.py:2352-2358)
+        s = ref_emb_bank.shape[0]
+        ref_bank_g = ref_emb_bank
+        ref_onehot_g = ref_onehot
+        if g_atrous > 1:
+            ref_bank_g = ref_bank_g[:, ::g_atrous, ::g_atrous]
+            ref_onehot_g = ref_onehot_g[:, ::g_atrous, ::g_atrous]
+        flat_emb = ref_bank_g.reshape(-1, ref_bank_g.shape[-1])
+        flat_lab = (ref_onehot_g * slot_valid[:, None, None, None]
+                    ).reshape(-1, o)
+        if c.MATCHING_MAX_REF_PIXELS:
+            flat_emb, flat_lab = compact_reference_bank(
+                flat_emb, flat_lab, c.MATCHING_MAX_REF_PIXELS)
+
         # 1. global pixel matching (aocnet.py:161-205)
-        global_fg = global_matching_bank(
-            current_emb, ref_emb_bank, ref_onehot, slot_valid, bias,
-            atrous_rate=g_atrous, dtype=dtype, use_pallas=use_pallas)
+        global_fg = global_matching_flat(
+            current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
+            bias, dtype=dtype, use_pallas=use_pallas)
 
         # 2. AOP cluster matching (aocnet.py:207-251)
-        s = ref_emb_bank.shape[0]
-        flat_emb = ref_emb_bank.reshape(s * h * w, -1)
-        flat_lab = (ref_onehot * slot_valid[:, None, None, None]
-                    ).reshape(s * h * w, o)
         banks = cluster_objects(flat_emb, flat_lab, kmeans_key,
                                 k=c.MODEL_CLUSTER_NUM,
                                 iters=c.MODEL_KMEANS_ITERS)

@@ -67,6 +67,56 @@ def _flatten_bank(ref_emb, ref_onehot, slot_valid):
     return emb, lab
 
 
+def compact_reference_bank(r_emb: jnp.ndarray, r_lab: jnp.ndarray,
+                           max_pixels: int):
+    """Gather up to ``max_pixels`` foreground-union reference pixels.
+
+    The reference pre-filters with ``masked_select`` (dynamic shape,
+    ``matching.py:2352-2358``) — purely a memory/FLOP optimization,
+    since non-foreground pixels carry the +5e4 penalty for every
+    object.  Static-shape equivalent: rank pixels by (is-foreground,
+    deterministic hash) and ``top_k``-gather ``max_pixels`` of them.
+    Exact whenever the true foreground count ≤ ``max_pixels``; beyond
+    that the hash ordering subsamples the foreground uniformly.
+    """
+    r = r_emb.shape[0]
+    if max_pixels >= r:
+        return r_emb, r_lab
+    fg = (jnp.sum(r_lab, axis=-1) > 0.9).astype(jnp.float32)         # [R]
+    # Knuth-hash ordering for uniform overflow subsampling
+    idx = jnp.arange(r, dtype=jnp.uint32)
+    tie = (idx * jnp.uint32(2654435761) % jnp.uint32(0x7FFFFFFF)
+           ).astype(jnp.float32) / jnp.float32(0x7FFFFFFF)
+    score = fg * 2.0 + tie
+    _, top = jax.lax.top_k(score, max_pixels)
+    return r_emb[top], r_lab[top] * fg[top][:, None]
+
+
+def global_matching_flat(
+    query_emb: jnp.ndarray,      # [H, W, C]
+    r_emb: jnp.ndarray,          # [R, C] flat reference bank
+    r_lab: jnp.ndarray,          # [R, O] (padding rows all-zero)
+    dis_bias: jnp.ndarray,       # [O]
+    *,
+    tile_r: int = 4096,
+    dtype=jnp.float32,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Per-object NN distance maps over a pre-flattened bank → [H,W,O,1]."""
+    h, w, c = query_emb.shape
+    o = r_lab.shape[-1]
+    q = query_emb.reshape(h * w, c).astype(dtype)
+    if use_pallas:
+        from .pallas_matching import global_matching_pallas
+        d_min = global_matching_pallas(q, r_emb.astype(dtype),
+                                       r_lab.astype(dtype))
+    else:
+        d_min = _global_matching_xla(q, r_emb.astype(dtype),
+                                     r_lab.astype(dtype), tile_r)
+    d_min = d_min.astype(jnp.float32).reshape(h, w, o)
+    return squash_distance(d_min[..., None], dis_bias)
+
+
 def global_matching_bank(
     query_emb: jnp.ndarray,      # [H, W, C]
     ref_emb: jnp.ndarray,        # [S, H, W, C]
@@ -89,18 +139,11 @@ def global_matching_bank(
         ref_emb = ref_emb[:, ::atrous_rate, ::atrous_rate, :]
         ref_onehot = ref_onehot[:, ::atrous_rate, ::atrous_rate, :]
 
-    q = query_emb.reshape(h * w, c).astype(dtype)
     r_emb, r_lab = _flatten_bank(ref_emb.astype(dtype), ref_onehot.astype(dtype),
                                  slot_valid.astype(dtype))
-
-    if use_pallas:
-        from .pallas_matching import global_matching_pallas
-        d_min = global_matching_pallas(q, r_emb, r_lab)
-    else:
-        d_min = _global_matching_xla(q, r_emb, r_lab, tile_r)
-
-    d_min = d_min.astype(jnp.float32).reshape(h, w, o)
-    return squash_distance(d_min[..., None], dis_bias)
+    return global_matching_flat(query_emb, r_emb, r_lab, dis_bias,
+                                tile_r=tile_r, dtype=dtype,
+                                use_pallas=use_pallas)
 
 
 def _global_matching_xla(q, r_emb, r_lab, tile_r):
@@ -206,17 +249,13 @@ def local_pairwise_distances(
     y2_pad = jnp.pad(y2, ((pad_d, pad_d), (pad_d, pad_d)),
                      constant_values=WRONG_LABEL_PADDING_DISTANCE)
 
-    dx_offsets = np.arange(k) * atrous_rate
-
     def row_body(carry, dy_idx):
         dy = dy_idx * atrous_rate
         band = jax.lax.dynamic_slice(y_pad, (dy, 0, 0), (h, w + 2 * pad_d, c))
         band2 = jax.lax.dynamic_slice(y2_pad, (dy, 0), (h, w + 2 * pad_d))
-        # stack K column shifts of the band: [K, h, w, C]
-        cols = jnp.stack([jax.lax.dynamic_slice(band, (0, int(dx), 0), (h, w, c))
-                          for dx in dx_offsets], axis=0)
-        cols2 = jnp.stack([jax.lax.dynamic_slice(band2, (0, int(dx)), (h, w))
-                           for dx in dx_offsets], axis=0)
+        # K column shifts of the band, vectorized: [K, h, w, C]
+        cols = _col_shifts(band, k, atrous_rate, w)
+        cols2 = _col_shifts(band2[..., None], k, atrous_rate, w)[..., 0]
         cross = jnp.einsum("khwc,hwc->khw", cols.astype(jnp.float32),
                            x.astype(jnp.float32),
                            precision=jax.lax.Precision.HIGHEST)
@@ -226,6 +265,28 @@ def local_pairwise_distances(
     _, rows = jax.lax.scan(row_body, 0, jnp.arange(k))                # [K, K, h, w]
     d = jnp.transpose(rows, (2, 3, 0, 1)).reshape(h, w, k * k)
     return d
+
+
+def _col_shifts(band, k, atrous_rate, w):
+    """[h, W+2D, C] → stacked K column windows [K, h, w, C] (static slices)."""
+    return jnp.stack([jax.lax.slice_in_dim(band, i * atrous_rate,
+                                           i * atrous_rate + w, axis=1)
+                      for i in range(k)], axis=0)
+
+
+def _shifted_label_windows(labels, pad_d, atrous_rate, k):
+    """Stack the K×K shifted label windows: [h, w, K², O] (the unfold
+    at matching.py:2812, as a row-scan to keep the traced graph small)."""
+    h, w, o = labels.shape
+    lab_pad = jnp.pad(labels, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+
+    def body(carry, dy_idx):
+        band = jax.lax.dynamic_slice(lab_pad, (dy_idx * atrous_rate, 0, 0),
+                                     (h, w + 2 * pad_d, o))
+        return carry, _col_shifts(band, k, atrous_rate, w)            # [K, h, w, O]
+
+    _, wins = jax.lax.scan(body, 0, jnp.arange(k))                    # [K, K, h, w, O]
+    return jnp.transpose(wins, (2, 3, 0, 1, 4)).reshape(h, w, k * k, o)
 
 
 def local_matching_bank(
@@ -266,13 +327,7 @@ def local_matching_bank(
     k = 2 * a_max + 1
 
     # offset masks: shifted label windows (reference unfold, matching.py:2812)
-    lab_pad = jnp.pad(labels, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
-    shifts = []
-    for dy in range(k):
-        for dx in range(k):
-            shifts.append(jax.lax.dynamic_slice(
-                lab_pad, (dy * atrous_rate, dx * atrous_rate, 0), (h, w, o)))
-    offset_masks = jnp.stack(shifts, axis=2) > 0.9                    # [h, w, K², O]
+    offset_masks = _shifted_label_windows(labels, pad_d, atrous_rate, k) > 0.9
 
     d_masked = jnp.where(offset_masks, d[..., None],
                          jnp.float32(WRONG_LABEL_PADDING_DISTANCE))   # [h, w, K², O]

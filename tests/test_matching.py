@@ -185,3 +185,38 @@ def test_pallas_kernel_interpret_matches_xla(rng):
     got = np.asarray(global_matching_pallas(q, re, lab, interpret=True))
     want = np.asarray(_global_matching_xla(q, re, lab, tile_r=64))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_compact_reference_bank_exact(rng):
+    from rvos_tpu.ops.matching import compact_reference_bank
+    r, c, o = 200, 8, 3
+    emb = rng.standard_normal((r, c)).astype(np.float32)
+    lab = np.zeros((r, o), np.float32)
+    fg_idx = rng.choice(r, 40, replace=False)
+    lab[fg_idx, rng.integers(1, o, size=40)] = 1.0
+    ce, cl = compact_reference_bank(jnp.asarray(emb), jnp.asarray(lab), 64)
+    assert ce.shape == (64, c)
+    # all 40 fg pixels retained
+    got_fg = np.asarray(cl).sum()
+    assert got_fg == 40
+    # matching over compacted == matching over full bank
+    q = rng.standard_normal((5, 6, c)).astype(np.float32)
+    bias = np.zeros((o,), np.float32)
+    from rvos_tpu.ops.matching import global_matching_flat
+    full = np.asarray(global_matching_flat(jnp.asarray(q), jnp.asarray(emb),
+                                           jnp.asarray(lab), jnp.asarray(bias)))
+    comp = np.asarray(global_matching_flat(jnp.asarray(q), ce, cl,
+                                           jnp.asarray(bias)))
+    # foreground objects identical; empty objects saturate either way
+    np.testing.assert_allclose(comp[..., 1:, :], full[..., 1:, :], atol=1e-5)
+
+
+def test_compact_reference_bank_overflow(rng):
+    from rvos_tpu.ops.matching import compact_reference_bank
+    r, c, o = 100, 4, 2
+    emb = rng.standard_normal((r, c)).astype(np.float32)
+    lab = np.zeros((r, o), np.float32)
+    lab[:, 1] = 1.0       # everything fg
+    ce, cl = compact_reference_bank(jnp.asarray(emb), jnp.asarray(lab), 32)
+    assert ce.shape == (32, c)
+    assert np.asarray(cl)[:, 1].sum() == 32   # all selected are fg
