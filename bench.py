@@ -69,16 +69,18 @@ def main():
     obj_valid = jnp.ones((n_obj,))
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    probs, emb_out, ms, mv = ev._step(img, st, obj_valid, key, (480, 854))
-    jax.block_until_ready(probs)
+    exist = jnp.ones((n_obj,))
+
+    # warmup / compile (the fused production path: postprocess on device)
+    out = ev._step_fused(img, st, obj_valid, exist, key, (480, 854))
+    jax.block_until_ready(out)
 
     n_iters = 20 if on_tpu else 2
     t0 = time.perf_counter()
     for i in range(n_iters):
-        probs, emb_out, ms, mv = ev._step(
-            img, st, obj_valid, jax.random.fold_in(key, i), (480, 854))
-    jax.block_until_ready(probs)
+        out = ev._step_fused(img, st, obj_valid, exist,
+                             jax.random.fold_in(key, i), (480, 854))
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
     fps = 1.0 / dt
 

@@ -124,6 +124,49 @@ class Evaluator:
             state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
             state.memory.slots, state.memory.valid, frame_key)
 
+    def _step_fused(self, img, state: _AugState, obj_valid, exist_mask,
+                    frame_key, ori_hw):
+        """Single-variant fast path: the whole per-frame postprocess
+        (existing-label masking, argmax, Shannon-entropy confident mask,
+        previous-label downscale) fused on device — only two small label
+        maps cross the host boundary per frame."""
+        key = (img.shape, tuple(ori_hw), "fused")
+        if key not in self._step_jit:
+            o = self.cfg.MODEL_MAX_OBJ_NUM
+            unc_ratio = self.unc_ratio
+
+            def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
+                   ov, em, mem_slots, mem_valid, k):
+                emb, low = self.model.apply(
+                    v, x[None], True, method=AOCNet.extract_feature)
+                emb, low = emb[0], low[0]
+                h, w = emb.shape[:2]
+                ref_onehot = jax.nn.one_hot(ref_lab, o)
+                prev_onehot = jax.nn.one_hot(prev_lab, o)
+                logits, new_mem = self.model.apply(
+                    v, emb, low, ref_emb, ref_onehot, slot_valid, prev_emb,
+                    prev_onehot, ov, DecoderMemory(mem_slots, mem_valid), k,
+                    False, method=AOCNet.segment_frame)
+                lg = jnp.transpose(logits, (1, 2, 0))
+                lg = resize_hw(lg, ori_hw, "bilinear")
+                probs = jax.nn.softmax(jnp.transpose(lg, (2, 0, 1)), axis=0)
+                probs = probs * em[:, None, None]
+                pred = jnp.argmax(probs, axis=0).astype(jnp.int32)
+                unc = shannon_entropy(probs, em)
+                conf = jnp.where(unc > unc_ratio, UNCERTAIN_LABEL, pred)
+                pred_small = resize_hw(pred[..., None], (h, w),
+                                       "nearest")[..., 0]
+                conf_small = resize_hw(conf[..., None], (h, w),
+                                       "nearest")[..., 0]
+                return (pred.astype(jnp.uint8), pred_small, conf_small, emb,
+                        new_mem.slots, new_mem.valid)
+
+            self._step_jit[key] = jax.jit(fn)
+        return self._step_jit[key](
+            self.variables, img, state.ref_emb, state.ref_lab,
+            state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
+            exist_mask, state.memory.slots, state.memory.valid, frame_key)
+
     # -- label helpers -----------------------------------------------------
     def _downscale_label(self, lab_full: np.ndarray, hw) -> np.ndarray:
         lab = jnp.asarray(lab_full.astype(np.int32))[..., None]
@@ -156,10 +199,39 @@ class Evaluator:
                 for lid in np.unique(current_label_full):
                     if int(lid) not in label_all_list:
                         label_all_list.append(int(lid))
+            exist_mask = np.zeros(o, np.float32)
+            for lid in label_all_list:
+                if lid < o:
+                    exist_mask[lid] = 1.0
 
             all_probs = []
             join_label = current_label_full if (
                 frame_idx > 0 and current_label_full is not None) else None
+
+            # fused single-variant fast path: postprocess stays on device
+            if (frame_idx > 0 and len(variants) == 1 and join_label is None
+                    and not variants[0]["flip"]):
+                st = states[0]
+                img = jnp.asarray(normalize(variants[0]["img"]))
+                frame_key = jax.random.fold_in(jax.random.PRNGKey(42),
+                                               frame_idx)
+                (pred_u8, pred_small, conf_small, emb, ms, mv) = \
+                    self._step_fused(img, st, obj_valid,
+                                     jnp.asarray(exist_mask), frame_key,
+                                     (ori_h, ori_w))
+                st.memory = DecoderMemory(ms, mv)
+                st.prev_emb = emb
+                st.prev_lab = pred_small
+                if self.mem_every > -1 and frame_idx % self.mem_every == 0:
+                    st.add_ref(emb, conf_small)
+                pred_label = np.asarray(pred_u8)
+                seq_time += time.time() - t_start
+                seq_frames += 1
+                results[meta["current_name"]] = pred_label
+                if save_dir is not None:
+                    name = os.path.splitext(meta["current_name"])[0] + ".png"
+                    save_mask(pred_label, os.path.join(save_dir, name))
+                continue
 
             for aug_idx, var in enumerate(variants):
                 img = jnp.asarray(normalize(var["img"]))
@@ -192,10 +264,6 @@ class Evaluator:
                 if var["flip"]:
                     probs_np = probs_np[:, :, ::-1]
                 # zero never-seen labels (ref :252-266)
-                exist_mask = np.zeros(o, np.float32)
-                for lid in label_all_list:
-                    if lid < o:
-                        exist_mask[lid] = 1.0
                 probs_np = probs_np * exist_mask[:, None, None]
                 all_probs.append(probs_np)
 
