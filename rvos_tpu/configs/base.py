@@ -128,7 +128,7 @@ class Config:
     MODEL_MAX_OBJ_NUM: int = 11            # static object axis (incl. background)
     TRAIN_SEQ_GRADIENT: str = "carry"      # "carry" | "detach" prev-embedding grad
     TEST_BANK_CAPACITY: int = 8            # fixed-capacity RPA bank (first frame pinned)
-    MATCHING_DTYPE: str = "float32"        # "bfloat16" enables MXU-friendly matching
+    MATCHING_DTYPE: str = "mixed"          # "float32" (exact) | "mixed" (bf16 cross, f32 norms) | "bfloat16"
     MATCHING_MAX_REF_PIXELS: int = 32768   # fg-union bank compaction cap (0 = off)
     USE_PALLAS: bool = True                # fused Pallas kernels on TPU backends
     MESH_DATA_AXIS: int = 8                # data-parallel mesh size for training

@@ -40,6 +40,7 @@ def tiny_test(**kw) -> Config:
         TRAIN_BATCH_SIZE=1,
         MESH_DATA_AXIS=1,
         USE_PALLAS=False,
+        MATCHING_DTYPE="float32",
     )
     base.update(kw)
     return Config(**base)

@@ -119,6 +119,7 @@ class AOCNet(nn.Module):
         o = ref_onehot.shape[-1]
         bias = self.dis_bias(o)
         dtype = jnp.bfloat16 if c.MATCHING_DTYPE == "bfloat16" else jnp.float32
+        mixed = c.MATCHING_DTYPE in ("mixed", "bfloat16")
         g_atrous = c.TRAIN_GLOBAL_ATROUS_RATE if train else c.TEST_GLOBAL_ATROUS_RATE
         l_atrous = c.TRAIN_LOCAL_ATROUS_RATE if train else c.TEST_LOCAL_ATROUS_RATE
         use_pallas = c.USE_PALLAS and jax.default_backend() == "tpu"
@@ -145,12 +146,12 @@ class AOCNet(nn.Module):
         # 1. global pixel matching (aocnet.py:161-205)
         global_fg = global_matching_flat(
             current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
-            bias, dtype=dtype, use_pallas=use_pallas)
+            bias, dtype=dtype, use_pallas=use_pallas, mixed=mixed)
 
         # 2. AOP cluster matching (aocnet.py:207-251)
         banks = cluster_objects(flat_emb, flat_lab, kmeans_key,
                                 k=c.MODEL_CLUSTER_NUM,
-                                iters=c.MODEL_KMEANS_ITERS)
+                                iters=c.MODEL_KMEANS_ITERS, mixed=mixed)
         global_cluster = cluster_matching(current_emb, banks, bias, dtype=dtype)
 
         # 3. local matching (aocnet.py:253-264)
@@ -220,12 +221,15 @@ def init_model(cfg: Config, rng: jax.Array, spatial: Tuple[int, int] = (65, 65))
     model = AOCNet(cfg)
     h, w = spatial
     imgs = jnp.zeros((3, h, w, 3), jnp.float32)
-    h4 = (h + 3) // 4
-    w4 = (w + 3) // 4
-    # probe the true embedding resolution first
-    feat_vars = model.init({"params": rng}, imgs, method=AOCNet.extract_feature)
-    emb, _ = model.apply(feat_vars, imgs, method=AOCNet.extract_feature)
-    labels = jnp.zeros(emb.shape[1:3], jnp.int32)
-    variables = model.init({"params": rng}, imgs, labels,
-                           method=AOCNet.full_forward)
+    # probe the true embedding resolution without running any math
+    emb_shape = jax.eval_shape(
+        lambda v, x: model.apply(v, x, method=AOCNet.extract_feature),
+        jax.eval_shape(lambda r: model.init({"params": r}, imgs,
+                                            method=AOCNet.extract_feature),
+                       rng),
+        imgs)[0]
+    labels = jnp.zeros(emb_shape.shape[1:3], jnp.int32)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, imgs, labels,
+                             method=AOCNet.full_forward))(rng)
     return model, variables

@@ -42,10 +42,11 @@ class ClusterBanks(NamedTuple):
     mean_valid: jnp.ndarray    # [O, K] bool — cluster non-empty at final assignment
 
 
-def _masked_kmeans_single(points, weights, key, k, iters):
+def _masked_kmeans_single(points, weights, key, k, iters, mixed=False):
     """k-means over ``points`` [R, C] with 0/1 ``weights`` [R]."""
     r, c = points.shape
     pts32 = points.astype(jnp.float32)
+    pts_d = pts32.astype(jnp.bfloat16) if mixed else pts32
 
     # deterministic 'points' init: top-k random scores among fg pixels
     scores = jax.random.uniform(key, (r,), minval=0.5, maxval=1.0) * weights
@@ -59,7 +60,8 @@ def _masked_kmeans_single(points, weights, key, k, iters):
         # [R, K] squared distances; invalid centroids pushed away
         p2 = jnp.sum(jnp.square(pts32), axis=-1, keepdims=True)
         c2 = jnp.sum(jnp.square(cent), axis=-1)
-        d = p2 + c2[None, :] - 2.0 * jnp.dot(pts32, cent.T,
+        cent_d = cent.astype(jnp.bfloat16) if mixed else cent
+        d = p2 + c2[None, :] - 2.0 * jnp.dot(pts_d, cent_d.T,
                                              preferred_element_type=jnp.float32,
                                              precision=jax.lax.Precision.HIGHEST)
         d = jnp.where(cent_ok[None, :], d, jnp.inf)
@@ -95,13 +97,15 @@ def cluster_objects(
     key: jax.Array,
     k: int = 16,
     iters: int = 20,
+    mixed: bool = False,
 ) -> ClusterBanks:
     """Per-object k-means over foreground reference pixels."""
     o = ref_onehot_flat.shape[-1]
     keys = jax.random.split(key, o)
     weights = ref_onehot_flat.T                                   # [O, R]
     cent, cv, means, mv = jax.vmap(
-        lambda w_, k_: _masked_kmeans_single(ref_emb_flat, w_, k_, k, iters)
+        lambda w_, k_: _masked_kmeans_single(ref_emb_flat, w_, k_, k, iters,
+                                             mixed)
     )(weights, keys)
     return ClusterBanks(cent, cv, means, mv)
 

@@ -101,6 +101,7 @@ def global_matching_flat(
     tile_r: int = 4096,
     dtype=jnp.float32,
     use_pallas: bool = False,
+    mixed: bool = False,
 ) -> jnp.ndarray:
     """Per-object NN distance maps over a pre-flattened bank → [H,W,O,1]."""
     h, w, c = query_emb.shape
@@ -109,7 +110,7 @@ def global_matching_flat(
     if use_pallas:
         from .pallas_matching import global_matching_pallas
         d_min = global_matching_pallas(q, r_emb.astype(dtype),
-                                       r_lab.astype(dtype))
+                                       r_lab.astype(dtype), mixed=mixed)
     else:
         d_min = _global_matching_xla(q, r_emb.astype(dtype),
                                      r_lab.astype(dtype), tile_r)
@@ -274,19 +275,53 @@ def _col_shifts(band, k, atrous_rate, w):
                       for i in range(k)], axis=0)
 
 
-def _shifted_label_windows(labels, pad_d, atrous_rate, k):
-    """Stack the K×K shifted label windows: [h, w, K², O] (the unfold
-    at matching.py:2812, as a row-scan to keep the traced graph small)."""
-    h, w, o = labels.shape
+def _local_matching_online(x, y, labels, radii, a_max, k, atrous_rate, pad_d):
+    """Multi-radius masked local mins as an online reduction.
+
+    One scan over the K window rows; each row contributes a masked-min
+    update to every radius' running minimum — the [h, w, K², O] masked
+    cube of the reference's unfold formulation (matching.py:2812-2837)
+    never exists.  Returns [h, w, O, n] with the reference channel
+    order (full radius first, then radii[:-1])."""
+    h, w, c = x.shape
+    o = labels.shape[-1]
+    n_r = len(radii)
+    order = [radii[-1]] + list(radii[:-1])      # output channel order
+
+    x2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
+    y2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=-1)
+    y_pad = jnp.pad(y, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+    y2_pad = jnp.pad(y2, ((pad_d, pad_d), (pad_d, pad_d)),
+                     constant_values=WRONG_LABEL_PADDING_DISTANCE)
     lab_pad = jnp.pad(labels, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
 
-    def body(carry, dy_idx):
-        band = jax.lax.dynamic_slice(lab_pad, (dy_idx * atrous_rate, 0, 0),
-                                     (h, w + 2 * pad_d, o))
-        return carry, _col_shifts(band, k, atrous_rate, w)            # [K, h, w, O]
+    def row_body(carry, dy_idx):
+        dy = dy_idx * atrous_rate
+        band = jax.lax.dynamic_slice(y_pad, (dy, 0, 0), (h, w + 2 * pad_d, c))
+        band2 = jax.lax.dynamic_slice(y2_pad, (dy, 0), (h, w + 2 * pad_d))
+        lband = jax.lax.dynamic_slice(lab_pad, (dy, 0, 0),
+                                      (h, w + 2 * pad_d, o))
+        cols = _col_shifts(band, k, atrous_rate, w)                   # [K,h,w,C]
+        cols2 = _col_shifts(band2[..., None], k, atrous_rate, w)[..., 0]
+        lcols = _col_shifts(lband, k, atrous_rate, w)                 # [K,h,w,O]
+        cross = jnp.einsum("khwc,hwc->khw", cols.astype(jnp.float32),
+                           x.astype(jnp.float32))
+        d_row = x2[None] + cols2 - 2.0 * cross                        # [K,h,w]
+        dm = jnp.where(lcols > 0.9, d_row[..., None],
+                       jnp.float32(WRONG_LABEL_PADDING_DISTANCE))     # [K,h,w,O]
 
-    _, wins = jax.lax.scan(body, 0, jnp.arange(k))                    # [K, K, h, w, O]
-    return jnp.transpose(wins, (2, 3, 0, 1, 4)).reshape(h, w, k * k, o)
+        dy_off = jnp.abs(dy_idx - a_max)
+        new = []
+        for i, r in enumerate(order):
+            sl = dm[a_max - r: a_max + r + 1]
+            cand = jnp.min(sl, axis=0)                                # [h,w,O]
+            cand = jnp.where(dy_off <= r, cand, jnp.inf)
+            new.append(jnp.minimum(carry[i], cand))
+        return jnp.stack(new), None
+
+    init = jnp.full((n_r, h, w, o), jnp.inf, jnp.float32)
+    mins, _ = jax.lax.scan(row_body, init, jnp.arange(k))             # [n,h,w,O]
+    return jnp.transpose(mins, (1, 2, 3, 0))
 
 
 def local_matching_bank(
@@ -317,29 +352,16 @@ def local_matching_bank(
         y = resize_hw(y, down_hw, "bilinear")
     h, w = x.shape[:2]
 
-    d = local_pairwise_distances(x, y, max_distance, atrous_rate)     # [h, w, K²]
-
     labels = prev_onehot
     if (h, w) != (ori_h, ori_w):
         labels = resize_hw(prev_onehot, (h, w), "nearest")
     pad_d = max_distance - max_distance % atrous_rate
     a_max = pad_d // atrous_rate
     k = 2 * a_max + 1
+    radii = tuple(int(r) // atrous_rate for r in multi_local_distance)
 
-    # offset masks: shifted label windows (reference unfold, matching.py:2812)
-    offset_masks = _shifted_label_windows(labels, pad_d, atrous_rate, k) > 0.9
-
-    d_masked = jnp.where(offset_masks, d[..., None],
-                         jnp.float32(WRONG_LABEL_PADDING_DISTANCE))   # [h, w, K², O]
-
-    maps = [jnp.min(d_masked, axis=2)]                                # full radius
-    d_grid = d_masked.reshape(h, w, k, k, o)
-    for local_dis in multi_local_distance[:-1]:
-        r = local_dis // atrous_rate
-        sl = slice(a_max - r, a_max + r + 1)
-        maps.append(jnp.min(d_grid[:, :, sl, sl, :].reshape(h, w, -1, o), axis=2))
-
-    multi = jnp.stack(maps, axis=-1)                                  # [h, w, O, n]
+    multi = _local_matching_online(x, y, labels, radii, a_max, k,
+                                   atrous_rate, pad_d)                # [h, w, O, n]
     multi = squash_distance(multi.astype(jnp.float32), dis_bias)
     if (h, w) != (ori_h, ori_w):
         multi = resize_hw(multi, (ori_h, ori_w), "bilinear")

@@ -44,15 +44,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, r_ref, pen_ref, out_ref, *, n_obj: int):
+def _kernel(q_ref, r_ref, pen_ref, out_ref, *, n_obj: int, mixed: bool):
     j = pl.program_id(1)
 
     q = q_ref[:].astype(jnp.float32)                      # [TM, C]
     r = r_ref[:].astype(jnp.float32)                      # [TR, C]
     q2 = jnp.sum(q * q, axis=1, keepdims=True)            # [TM, 1]
     r2 = jnp.sum(r * r, axis=1, keepdims=True)            # [TR, 1]
+    if mixed:
+        # bf16 cross term at MXU full rate, f32 norms + accumulation —
+        # the TPU analogue of MODEL_FLOAT16_MATCHING (matching.py:2331)
+        # with ~8× the fp32 throughput and ≲0.5% distance error.
+        qd = q_ref[:].astype(jnp.bfloat16)
+        rd = r_ref[:].astype(jnp.bfloat16)
+    else:
+        qd, rd = q_ref[:], r_ref[:]
     cross = jax.lax.dot_general(
-        q_ref[:], r_ref[:],
+        qd, rd,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                     # [TM, TR]
@@ -68,10 +76,10 @@ def _kernel(q_ref, r_ref, pen_ref, out_ref, *, n_obj: int):
         out_ref[o, :] = jnp.minimum(out_ref[o, :], dm)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mixed"))
 def global_matching_pallas(q: jnp.ndarray, r_emb: jnp.ndarray,
-                           r_lab: jnp.ndarray, interpret: bool = False
-                           ) -> jnp.ndarray:
+                           r_lab: jnp.ndarray, interpret: bool = False,
+                           mixed: bool = True) -> jnp.ndarray:
     """q: [M, C]; r_emb: [R, C]; r_lab: [R, O] → [M, O] min distances."""
     m, c = q.shape
     r, o = r_lab.shape
@@ -90,7 +98,7 @@ def global_matching_pallas(q: jnp.ndarray, r_emb: jnp.ndarray,
 
     grid = (mp // _TM, rp // _TR)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_obj=op),
+        functools.partial(_kernel, n_obj=o, mixed=mixed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TM, cp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

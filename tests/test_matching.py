@@ -182,9 +182,14 @@ def test_pallas_kernel_interpret_matches_xla(rng):
     q = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
     re = jnp.asarray(rng.standard_normal((r, c)).astype(np.float32))
     lab = jnp.asarray(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=(r,))])
-    got = np.asarray(global_matching_pallas(q, re, lab, interpret=True))
+    got = np.asarray(global_matching_pallas(q, re, lab, interpret=True,
+                                            mixed=False))
     want = np.asarray(_global_matching_xla(q, re, lab, tile_r=64))
     np.testing.assert_allclose(got, want, atol=1e-3)
+    # mixed precision stays within bf16 cross-term error
+    got_mx = np.asarray(global_matching_pallas(q, re, lab, interpret=True,
+                                               mixed=True))
+    np.testing.assert_allclose(got_mx, want, atol=0.2, rtol=0.05)
 
 
 def test_compact_reference_bank_exact(rng):
