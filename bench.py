@@ -18,6 +18,10 @@ import os
 import sys
 import time
 
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -45,23 +49,26 @@ def main():
         MODEL_MAX_OBJ_NUM=n_obj,
         TEST_BANK_CAPACITY=bank,
         USE_PALLAS=on_tpu,
-        MATCHING_DTYPE="float32",
     )
     if not on_tpu:                 # CPU smoke: shrink
         H, W = 129, 129
 
+    t0 = time.perf_counter()
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   (min(H, 65), min(W, 65)))
+    _log(f"bench: init {time.perf_counter() - t0:.1f}s")
     ev = Evaluator(cfg, model, variables)
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((H, W, 3)).astype(np.float32))
+    t0 = time.perf_counter()
     emb, low = ev._embed(img)
+    _log(f"bench: embed {time.perf_counter() - t0:.1f}s")
     h, w, c = emb.shape
 
     from rvos_tpu.engine.eval import _AugState
     st = _AugState(bank, h, w, c, n_obj, ((h + 1) // 2, (w + 1) // 2),
-                   cfg.MODEL_HEAD_EMBEDDING_DIM)
+                   cfg.MODEL_HEAD_EMBEDDING_DIM, ev.compute_dtype)
     lab = np.zeros((h, w), np.int32)
     lab[h // 4: h // 2, w // 4: w // 2] = 1
     lab[h // 2: 3 * h // 4, w // 4: w // 2] = 2
@@ -74,17 +81,37 @@ def main():
     key = jax.random.PRNGKey(0)
 
     exist = jnp.ones((n_obj,))
+    ori_hw = (480, 854) if on_tpu else (H, W)
 
-    # warmup / compile (the fused production path: postprocess on device)
-    out = ev._step_fused(img, st, obj_valid, exist, key, (480, 854))
-    jax.block_until_ready(out)
+    n_iters = 30 if on_tpu else 2
+    keys = [jax.random.fold_in(key, i) for i in range(n_iters)]
 
-    n_iters = 20 if on_tpu else 2
+    # warmup / compile (the fused production path: postprocess on device).
+    # Two feedback steps: the second specializes on the fed-back output
+    # layouts (JAX retraces once when recurrent outputs return as inputs).
+    from rvos_tpu.models import DecoderMemory
+    for i in range(2):
+        t0 = time.perf_counter()
+        pred_u8, pred_small, conf_small, emb2, ms, mv = ev._step_fused(
+            img, st, obj_valid, exist, keys[i], ori_hw)
+        st.prev_emb = emb2
+        st.prev_lab = pred_small
+        st.memory = DecoderMemory(ms, mv)
+        np.asarray(pred_u8[0, :4])   # hard sync (block_until_ready is
+        #                              unreliable through the TPU tunnel)
+        _log(f"bench: warmup {i} {time.perf_counter() - t0:.1f}s")
+
+    # steady-state streaming throughput: the per-frame recurrence
+    # (prev embedding/label, decoder memory) feeds back device-side,
+    # exactly like the production evaluator; one sync at the end.
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = ev._step_fused(img, st, obj_valid, exist,
-                             jax.random.fold_in(key, i), (480, 854))
-    jax.block_until_ready(out)
+        pred_u8, pred_small, conf_small, emb2, ms, mv = ev._step_fused(
+            img, st, obj_valid, exist, keys[i], ori_hw)
+        st.prev_emb = emb2
+        st.prev_lab = pred_small
+        st.memory = DecoderMemory(ms, mv)
+    np.asarray(pred_small[0, :4])
     dt = (time.perf_counter() - t0) / n_iters
     fps = 1.0 / dt
 

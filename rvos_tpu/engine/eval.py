@@ -51,13 +51,15 @@ UNCERTAIN_LABEL = 125   # ref eval_manager_mm.py:346
 class _AugState:
     """Per-variant streaming state (device arrays)."""
 
-    def __init__(self, capacity, h, w, c, o, mem_hw, head_dim):
-        self.ref_emb = jnp.zeros((capacity, h, w, c))
+    def __init__(self, capacity, h, w, c, o, mem_hw, head_dim,
+                 dtype=jnp.float32):
+        self.ref_emb = jnp.zeros((capacity, h, w, c), dtype)
         self.ref_lab = jnp.zeros((capacity, h, w), jnp.int32)
         self.slot_valid = jnp.zeros((capacity,))
-        self.prev_emb = jnp.zeros((h, w, c))
+        self.prev_emb = jnp.zeros((h, w, c), dtype)
         self.prev_lab = jnp.zeros((h, w), jnp.int32)
-        self.memory = DecoderMemory.empty(o, mem_hw[0], mem_hw[1], head_dim)
+        self.memory = DecoderMemory.empty(o, mem_hw[0], mem_hw[1], head_dim,
+                                          dtype)
         self.ring_ptr = 1      # slot 0 pinned to the first frame
         self.capacity = capacity
 
@@ -79,6 +81,18 @@ class Evaluator:
                  result_root: str = ""):
         self.cfg = cfg
         self.model = model
+        # bf16 eval compute on TPU (cfg.EVAL_COMPUTE_DTYPE): params cast
+        # once; flax norm layers keep f32 statistics internally.  The
+        # reference's analogous switch is fp16 matching
+        # (MODEL_FLOAT16_MATCHING); here the whole eval tower runs bf16.
+        self.compute_dtype = jnp.float32
+        if (cfg.EVAL_COMPUTE_DTYPE == "bfloat16"
+                and jax.default_backend() == "tpu"):
+            self.compute_dtype = jnp.bfloat16
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
         self.variables = variables
         self.result_root = result_root
         self.mem_every = cfg.MEM_EVERY
@@ -90,9 +104,11 @@ class Evaluator:
     def _embed(self, img):
         key = img.shape
         if key not in self._embed_jit:
+            cdt = self.compute_dtype
             self._embed_jit[key] = jax.jit(
                 lambda v, x: self.model.apply(
-                    v, x[None], True, method=AOCNet.extract_feature))
+                    v, x[None].astype(cdt), True,
+                    method=AOCNet.extract_feature))
         emb, low = self._embed_jit[key](self.variables, img)
         return emb[0], low[0]
 
@@ -101,19 +117,23 @@ class Evaluator:
         if key not in self._step_jit:
             o = self.cfg.MODEL_MAX_OBJ_NUM
 
+            cdt = self.compute_dtype
+
             def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
                    ov, mem_slots, mem_valid, k):
                 emb, low = self.model.apply(
-                    v, x[None], True, method=AOCNet.extract_feature)
+                    v, x[None].astype(cdt), True,
+                    method=AOCNet.extract_feature)
                 emb, low = emb[0], low[0]
-                ref_onehot = jax.nn.one_hot(ref_lab, o)
-                prev_onehot = jax.nn.one_hot(prev_lab, o)
+                ref_onehot = jax.nn.one_hot(ref_lab, o, dtype=cdt)
+                prev_onehot = jax.nn.one_hot(prev_lab, o, dtype=cdt)
                 logits, new_mem = self.model.apply(
-                    v, emb, low, ref_emb, ref_onehot, slot_valid, prev_emb,
-                    prev_onehot, ov, DecoderMemory(mem_slots, mem_valid), k,
+                    v, emb, low, ref_emb.astype(cdt), ref_onehot, slot_valid,
+                    prev_emb.astype(cdt), prev_onehot, ov,
+                    DecoderMemory(mem_slots, mem_valid), k,
                     False, method=AOCNet.segment_frame)
                 # upsample to original size then softmax (aocnet.py:103-106)
-                lg = jnp.transpose(logits, (1, 2, 0))
+                lg = jnp.transpose(logits, (1, 2, 0)).astype(jnp.float32)
                 lg = resize_hw(lg, ori_hw, "bilinear")
                 probs = jax.nn.softmax(jnp.transpose(lg, (2, 0, 1)), axis=0)
                 return probs, emb, new_mem.slots, new_mem.valid
@@ -135,19 +155,23 @@ class Evaluator:
             o = self.cfg.MODEL_MAX_OBJ_NUM
             unc_ratio = self.unc_ratio
 
+            cdt = self.compute_dtype
+
             def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
                    ov, em, mem_slots, mem_valid, k):
                 emb, low = self.model.apply(
-                    v, x[None], True, method=AOCNet.extract_feature)
+                    v, x[None].astype(cdt), True,
+                    method=AOCNet.extract_feature)
                 emb, low = emb[0], low[0]
                 h, w = emb.shape[:2]
-                ref_onehot = jax.nn.one_hot(ref_lab, o)
-                prev_onehot = jax.nn.one_hot(prev_lab, o)
+                ref_onehot = jax.nn.one_hot(ref_lab, o, dtype=cdt)
+                prev_onehot = jax.nn.one_hot(prev_lab, o, dtype=cdt)
                 logits, new_mem = self.model.apply(
-                    v, emb, low, ref_emb, ref_onehot, slot_valid, prev_emb,
-                    prev_onehot, ov, DecoderMemory(mem_slots, mem_valid), k,
+                    v, emb, low, ref_emb.astype(cdt), ref_onehot, slot_valid,
+                    prev_emb.astype(cdt), prev_onehot, ov,
+                    DecoderMemory(mem_slots, mem_valid), k,
                     False, method=AOCNet.segment_frame)
-                lg = jnp.transpose(logits, (1, 2, 0))
+                lg = jnp.transpose(logits, (1, 2, 0)).astype(jnp.float32)
                 lg = resize_hw(lg, ori_hw, "bilinear")
                 probs = jax.nn.softmax(jnp.transpose(lg, (2, 0, 1)), axis=0)
                 probs = probs * em[:, None, None]
@@ -241,7 +265,8 @@ class Evaluator:
                     mem_hw = ((h + 1) // 2, (w + 1) // 2)
                     st = _AugState(cfg.TEST_BANK_CAPACITY, h, w,
                                    emb.shape[-1], o, mem_hw,
-                                   cfg.MODEL_HEAD_EMBEDDING_DIM)
+                                   cfg.MODEL_HEAD_EMBEDDING_DIM,
+                                   self.compute_dtype)
                     lab = current_label_full
                     if var["flip"]:
                         lab = lab[:, ::-1]

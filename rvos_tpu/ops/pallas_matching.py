@@ -70,9 +70,13 @@ def _kernel(q_ref, r_ref, pen_ref, out_ref, *, n_obj: int, mixed: bool):
     def _init():
         out_ref[:] = jnp.full_like(out_ref, np.inf)
 
+    if mixed:
+        # bf16 min datapath: 2x VPU lanes; distances are O(10) so the
+        # bf16 mantissa costs <0.5% — well inside matching tolerance.
+        d = d.astype(jnp.bfloat16)
     for o in range(n_obj):                                # static unroll
-        pen_row = pen_ref[o, :].reshape(1, -1)            # [1, TR] lanes
-        dm = jnp.min(d + pen_row, axis=1)                 # [TM]
+        pen_row = pen_ref[o, :].reshape(1, -1).astype(d.dtype)  # [1, TR]
+        dm = jnp.min(d + pen_row, axis=1).astype(jnp.float32)   # [TM]
         out_ref[o, :] = jnp.minimum(out_ref[o, :], dm)
 
 
