@@ -111,76 +111,55 @@ def _unflatten(flat):
 def convert_torch_statedict(state_dict: Dict[str, "np.ndarray"]
                             ) -> Dict[str, np.ndarray]:
     """Map reference AOC-Net/CFBI torch keys to this framework's
-    '/'-joined flax paths, transposing conv (OIHW→HWIO) and linear
-    (out,in → in,out) kernels.  Unmatched keys are left to
-    ``partial_restore`` to report.
+    '/'-joined flax paths — rank-aware:
+
+    * 4-D ``weight`` → conv ``kernel`` (OIHW→HWIO);
+    * 2-D ``weight`` → dense ``kernel`` (transposed);
+    * 1-D ``weight`` → FrozenBatchNorm ``weight`` inside the feature
+      extractor, GroupNorm ``scale`` elsewhere;
+    * GCT ``alpha``/``gamma``/``beta`` (1,C,1,1) → (1,1,1,C);
+    * ``layerX.N.…`` ResNet indices → ``layerX_N`` flax names;
+    * ``downsample.{0,1}`` → ``downsample_conv`` / ``downsample_bn``;
+    * ``num_batches_tracked`` dropped.
+
+    Unmatched/mismatched keys are left to ``partial_restore`` to report.
     """
     out = {}
     for key, val in state_dict.items():
         v = np.asarray(val)
         key = key.removeprefix("module.")
-        path = _map_torch_key(key)
-        if path is None:
+        parts = key.split(".")
+        if parts[-1] == "num_batches_tracked":
             continue
-        if path.endswith("kernel"):
+        # ResNet layer indices and downsample naming
+        mapped = []
+        i = 0
+        while i < len(parts):
+            p = parts[i]
+            if (p.startswith("layer") and i + 1 < len(parts)
+                    and parts[i + 1].isdigit()
+                    and "backbone" in parts[:i]):
+                mapped.append(f"{p}_{parts[i + 1]}")
+                i += 2
+            elif p == "downsample" and i + 1 < len(parts):
+                mapped.append("downsample_conv" if parts[i + 1] == "0"
+                              else "downsample_bn")
+                i += 2
+            else:
+                mapped.append(p)
+                i += 1
+        leaf = mapped[-1]
+        in_extractor = mapped[0] == "feature_extracter"
+        if leaf == "weight":
             if v.ndim == 4:
-                v = v.transpose(2, 3, 1, 0)      # OIHW → HWIO
+                v = v.transpose(2, 3, 1, 0)        # OIHW → HWIO
+                leaf = "kernel"
             elif v.ndim == 2:
                 v = v.T
-        out[path] = v
+                leaf = "kernel"
+            elif v.ndim == 1 and not in_extractor:
+                leaf = "scale"                     # flax GroupNorm
+        elif leaf in ("alpha", "gamma", "beta") and v.ndim == 4:
+            v = v.transpose(0, 2, 3, 1)            # GCT (1,C,1,1) → (1,1,1,C)
+        out["/".join(mapped[:-1] + [leaf])] = v
     return out
-
-
-def _map_torch_key(key: str) -> Optional[str]:
-    """Best-effort structural mapping for the backbone tower; decoder
-    modules follow the same naming so most keys map mechanically."""
-    parts = key.split(".")
-    # feature_extracter.backbone.layerX.N.convY.weight → resnet names
-    if parts[0] == "feature_extracter":
-        parts[0] = "feature_extracter"
-        if len(parts) >= 2 and parts[1] == "backbone":
-            # layer1.0.conv1.weight → backbone/layer1_0/conv1/kernel
-            if parts[2].startswith("layer"):
-                rest = parts[3:]
-                name = f"{parts[2]}_{rest[0]}"
-                sub = rest[1:]
-                mapped = _map_norm_or_conv(sub)
-                if mapped is None:
-                    return None
-                return "/".join(["feature_extracter", "backbone", name] + mapped)
-            mapped = _map_norm_or_conv(parts[2:])
-            if mapped is None:
-                return None
-            return "/".join(["feature_extracter", "backbone"] + mapped)
-    mapped = _map_norm_or_conv(parts[-2:])
-    if mapped is None:
-        return None
-    return "/".join(parts[:-2] + mapped)
-
-
-def _map_norm_or_conv(sub):
-    """['conv1','weight'] → ['conv1','kernel']; BN buffers keep names;
-    ['downsample','0','weight'] → ['downsample_conv','kernel']."""
-    if not sub:
-        return None
-    if sub[0] == "downsample":
-        if len(sub) == 3:
-            mod = "downsample_conv" if sub[1] == "0" else "downsample_bn"
-            leaf = _leaf(sub[2], is_conv=(sub[1] == "0"))
-            return [mod, leaf] if leaf else None
-        return None
-    leaf = _leaf(sub[-1], is_conv="conv" in sub[-2] if len(sub) > 1 else True)
-    if leaf is None:
-        return None
-    return list(sub[:-1]) + [leaf]
-
-
-def _leaf(name: str, is_conv: bool) -> Optional[str]:
-    if name == "weight":
-        return "kernel" if is_conv else "weight"
-    if name in ("bias", "running_mean", "running_var", "alpha", "gamma",
-                "beta"):
-        return name
-    if name == "num_batches_tracked":
-        return None
-    return name

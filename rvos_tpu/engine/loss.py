@@ -41,6 +41,32 @@ def hard_mining_ce(
     return jnp.sum(sorted_desc * mask) / k
 
 
+def hard_mining_bce(
+    logits: jnp.ndarray,      # [O, H, W]
+    onehot_target: jnp.ndarray,  # [O, H, W] {0,1}
+    step: jnp.ndarray,
+    top_k_percent: float = 0.15,
+    hard_mining_step: int = 50_000,
+) -> jnp.ndarray:
+    """Per-object BCE analogue (``Concat_BCEWithLogitsLoss``,
+    ``networks/layers/loss.py:5-49``).  The release's top-k path abuses
+    indices as weights (§2.9); here the mined mean over the top-k pixel
+    losses, mirroring the (correct) CE path."""
+    pix = jnp.maximum(logits, 0) - logits * onehot_target + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    flat = jnp.mean(pix, axis=0).reshape(-1)       # mean over objects per px
+    n = flat.shape[0]
+    if hard_mining_step == 0:
+        k = jnp.asarray(int(top_k_percent * n), jnp.float32)
+    else:
+        ratio = jnp.minimum(1.0, step.astype(jnp.float32) / hard_mining_step)
+        k = jnp.floor((ratio * top_k_percent + (1.0 - ratio)) * n)
+    k = jnp.maximum(k, 1.0)
+    sorted_desc = jnp.sort(flat)[::-1]
+    mask = (jnp.arange(n, dtype=jnp.float32) < k).astype(flat.dtype)
+    return jnp.sum(sorted_desc * mask) / k
+
+
 def batched_iou(pred: jnp.ndarray, target: jnp.ndarray, obj_num: jnp.ndarray,
                 max_obj: int, epsilon: float = 1e-6) -> jnp.ndarray:
     """Mean foreground IoU for train logging (``utils/metric.py:3-34``)."""

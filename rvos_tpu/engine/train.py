@@ -183,6 +183,18 @@ class Trainer:
                                 jnp.asarray(cfg.TRAIN_START_STEP))
         self._step_fn = None
         self.lr_fn = lr_schedule(cfg)
+        if cfg.TRAIN_AUTO_RESUME:
+            self._auto_resume()
+
+    def _auto_resume(self):
+        """Resume from the newest checkpoint in the result dir
+        (reference ``train_manager_mm.py:87-96``)."""
+        from .checkpoint import list_checkpoint_steps, restore_checkpoint
+        ckpt_dir = self.cfg.result_dirs()["ckpt"]
+        steps = list_checkpoint_steps(ckpt_dir)
+        if steps:
+            self.state, step = restore_checkpoint(ckpt_dir, None, self.state)
+            print(f"Auto-resumed from step {step} ({ckpt_dir})")
 
     def _build_step(self):
         if self._step_fn is not None:

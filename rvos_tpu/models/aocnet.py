@@ -66,6 +66,7 @@ class AOCNet(nn.Module):
     def setup(self):
         c = self.cfg
         self.feature_extracter = DeepLab(c.MODEL_OUTPUT_STRIDE,
+                                         c.MODEL_BACKBONE,
                                          name="feature_extracter")
         self.semantic_embedding = SemanticEmbedding(
             c.MODEL_ASPP_OUTDIM, c.MODEL_SEMANTIC_EMBEDDING_DIM,

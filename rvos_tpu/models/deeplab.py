@@ -84,13 +84,25 @@ def _batched_resize(x, out_hw, mode: str = "bilinear"):
 
 
 class DeepLab(nn.Module):
-    """Full extractor: [N, H, W, 3] → (decoder 256 @1/4, low-level 256 @1/4)."""
+    """Full extractor: [N, H, W, 3] → (decoder 256 @1/4, low-level @1/4).
+
+    ``backbone``: 'resnet' (ResNet-101, low-level 256ch) or 'mobilenet'
+    (MobileNetV2, low-level 24ch) — the reference's ``build_backbone``
+    dispatch (``networks/deeplab/backbone/__init__.py:3``).
+    """
     output_stride: int = 16
+    backbone: str = "resnet"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        feats, low_level = ResNet101(self.output_stride, name="backbone")(x)
+        if self.backbone == "mobilenet":
+            from .mobilenet import MobileNetV2
+            feats, low_level = MobileNetV2(self.output_stride,
+                                           name="backbone")(x)
+        else:
+            feats, low_level = ResNet101(self.output_stride,
+                                         name="backbone")(x)
         aspp = DeepLabASPP(name="aspp")(feats, deterministic=deterministic)
         out = DeepLabDecoder(name="decoder")(aspp, low_level)
         return out, low_level

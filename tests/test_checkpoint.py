@@ -66,6 +66,12 @@ def test_torch_conversion_backbone_keys(rng):
             rng.standard_normal((256,)).astype(np.float32),
         "feature_extracter.backbone.bn1.num_batches_tracked": np.zeros(()),
     }
+    sd["dynamic_seghead.layer1.GCT1.alpha"] = \
+        rng.standard_normal((1, 164, 1, 1)).astype(np.float32)
+    sd["dynamic_seghead.IA1.IA.weight"] = \
+        rng.standard_normal((164, 400)).astype(np.float32)
+    sd["dynamic_seghead.layer1.bn1.weight"] = \
+        rng.standard_normal((64,)).astype(np.float32)
     out = convert_torch_statedict(sd)
     assert out["feature_extracter/backbone/conv1/kernel"].shape == (7, 7, 3, 64)
     assert "feature_extracter/backbone/bn1/running_mean" in out
@@ -75,3 +81,9 @@ def test_torch_conversion_backbone_keys(rng):
                ].shape == (1, 1, 64, 256)
     assert "feature_extracter/backbone/layer1_0/downsample_bn/running_var" in out
     assert not any("num_batches" in k for k in out)
+    # GCT params transposed to NHWC
+    assert out["dynamic_seghead/layer1/GCT1/alpha"].shape == (1, 1, 1, 164)
+    # dense kernels transposed
+    assert out["dynamic_seghead/IA1/IA/kernel"].shape == (400, 164)
+    # GroupNorm weight outside the extractor becomes flax 'scale'
+    assert "dynamic_seghead/layer1/bn1/scale" in out
