@@ -228,6 +228,8 @@ class Trainer:
         rng = jax.random.PRNGKey(1234)
         epoch = 0
         t0 = time.time()
+        from ..utils.logging import MetricsLogger
+        logger = MetricsLogger(cfg.result_dirs()["log"], tb=cfg.TRAIN_TBLOG)
         while int(self.state.step) < total:
             for batch in batcher.epoch(epoch):
                 rng, sub = jax.random.split(rng)
@@ -240,6 +242,9 @@ class Trainer:
                     dt = time.time() - t0
                     print(f"Itr:{step}, LR:{lr:.7f}, Time:{dt:.3f}, "
                           f"L:{loss:.3f} IoU:{iou:.3f}")
+                    logger.log(step, {"loss": loss, "iou": iou, "lr": lr,
+                                      "grad_norm": float(metrics["grad_norm"]),
+                                      "step_time": dt / max(1, log_every)})
                     t0 = time.time()
                 if save_every and ckpt_dir and step % save_every == 0 and step:
                     from .checkpoint import save_checkpoint

@@ -181,6 +181,10 @@ class AOCNet(nn.Module):
             parts.append(foreground2background(global_fg, obj_valid))
         maps = jnp.concatenate(parts, axis=-1)        # [h, w, O, n_ch]
         maps = jnp.transpose(maps, (2, 0, 1, 3))      # [O, h, w, n_ch]
+        # distance maps are f32 (sigmoid-squashed); run the decoder in
+        # the embedding compute dtype (bf16 at eval) — otherwise one f32
+        # activation re-promotes every decoder tower to f32.
+        maps = maps.astype(current_emb.dtype)
 
         # 6. prehead + decoder (aocnet.py:360-367)
         pre = self.dynamic_prehead(maps)

@@ -304,9 +304,10 @@ def _local_matching_online(x, y, labels, radii, a_max, k, atrous_rate, pad_d):
         cols = _col_shifts(band, k, atrous_rate, w)                   # [K,h,w,C]
         cols2 = _col_shifts(band2[..., None], k, atrous_rate, w)[..., 0]
         lcols = _col_shifts(lband, k, atrous_rate, w)                 # [K,h,w,O]
-        cross = jnp.einsum("khwc,hwc->khw", cols.astype(jnp.float32),
-                           x.astype(jnp.float32))
-        d_row = x2[None] + cols2 - 2.0 * cross                        # [K,h,w]
+        # dot in the input dtype (bf16 at eval), f32 accumulation/norms
+        cross = jnp.einsum("khwc,hwc->khw", cols, x,
+                           preferred_element_type=jnp.float32)
+        d_row = x2[None] + cols2.astype(jnp.float32) - 2.0 * cross    # [K,h,w]
         dm = jnp.where(lcols > 0.9, d_row[..., None],
                        jnp.float32(WRONG_LABEL_PADDING_DISTANCE))     # [K,h,w,O]
 

@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .matching import WRONG_LABEL_PADDING_DISTANCE
 
-_TM = 256   # query-pixel tile
-_TR = 512   # reference-pixel tile
+_TM = 512   # query-pixel tile
+_TR = 1024  # reference-pixel tile
 
 
 def _round_up(x: int, m: int) -> int:
