@@ -206,8 +206,18 @@ class Evaluator:
         seq_time, seq_frames = 0.0, 0
         results = {}
 
-        for frame_idx in range(len(seq_dataset)):
-            sample = seq_dataset[frame_idx]
+        # host pipeline: frame decode prefetched on threads, PNG writes
+        # async — device compute overlaps IO (the reference leans on
+        # DataLoader workers, eval_manager_mm.py:180)
+        from concurrent.futures import ThreadPoolExecutor
+        from ..data.loader import PrefetchLoader
+        loader = PrefetchLoader(seq_dataset,
+                                num_workers=min(2, self.cfg.TEST_WORKERS) or 1,
+                                prefetch=3)
+        saver = ThreadPoolExecutor(max_workers=1)
+        pending = []
+
+        for frame_idx, sample in enumerate(loader):
             t_start = time.time()
             meta = sample["meta"]
             ori_h, ori_w = meta["height"], meta["width"]
@@ -254,7 +264,8 @@ class Evaluator:
                 results[meta["current_name"]] = pred_label
                 if save_dir is not None:
                     name = os.path.splitext(meta["current_name"])[0] + ".png"
-                    save_mask(pred_label, os.path.join(save_dir, name))
+                    pending.append(saver.submit(
+                        save_mask, pred_label, os.path.join(save_dir, name)))
                 continue
 
             for aug_idx, var in enumerate(variants):
@@ -331,11 +342,15 @@ class Evaluator:
             results[meta["current_name"]] = pred_label
             if save_dir is not None:
                 name = os.path.splitext(meta["current_name"])[0] + ".png"
-                save_mask(pred_label, os.path.join(save_dir, name))
+                pending.append(saver.submit(
+                    save_mask, pred_label, os.path.join(save_dir, name)))
             if verbose:
                 print(f"Frame {meta['current_name']} obj={obj_num} "
                       f"t={time.time() - t_start:.3f}s")
 
+        for f in pending:
+            f.result()
+        saver.shutdown(wait=True)
         fps = seq_frames / max(seq_time, 1e-6)
         return {"results": results, "fps": fps, "frames": seq_frames,
                 "time": seq_time}
