@@ -310,16 +310,22 @@ class VOSTestSeq:
 
 
 class DAVISTest:
-    """DAVIS 2016/2017 eval (ref :674-723)."""
+    """DAVIS 2016/2017 eval (ref :674-723).
+
+    ``all_labels=True`` surfaces every frame's ground-truth label (the
+    reference's ``VOS_Test_all`` / ``DAVIS_Test_w_label`` variant,
+    datasets_m.py:495-620) for label-aware evaluation.
+    """
 
     def __init__(self, root, split=("val",), year=2017, full_resolution=False,
-                 rgb=True, frame_transform=None):
+                 rgb=True, frame_transform=None, all_labels=False):
         resolution = "Full-Resolution" if full_resolution else "480p"
         self.image_root = os.path.join(root, "JPEGImages", resolution)
         self.label_root = os.path.join(root, "Annotations", resolution)
         self.single_obj = year == 2016
         self.rgb = rgb
         self.frame_transform = frame_transform
+        self.all_labels = all_labels
         self.seqs = []
         for sp in split:
             with open(os.path.join(root, "ImageSets", str(year),
@@ -332,7 +338,10 @@ class DAVISTest:
     def __getitem__(self, idx):
         seq = self.seqs[idx]
         images = sorted(os.listdir(os.path.join(self.image_root, seq)))
-        labels = [os.path.splitext(images[0])[0] + ".png"]
+        if self.all_labels:
+            labels = sorted(os.listdir(os.path.join(self.label_root, seq)))
+        else:
+            labels = [os.path.splitext(images[0])[0] + ".png"]
         return VOSTestSeq(self.image_root, self.label_root, seq, images,
                           labels, self.rgb, self.single_obj,
                           self.frame_transform)

@@ -121,6 +121,9 @@ class AOCNet(nn.Module):
         bias = self.dis_bias(o)
         dtype = jnp.bfloat16 if c.MATCHING_DTYPE == "bfloat16" else jnp.float32
         mixed = c.MATCHING_DTYPE in ("mixed", "bfloat16")
+        # in mixed mode the elementwise/dot datapath follows the
+        # embedding compute dtype (bf16 at eval) with f32 norms inside
+        op_dtype = current_emb.dtype if mixed else dtype
         g_atrous = c.TRAIN_GLOBAL_ATROUS_RATE if train else c.TEST_GLOBAL_ATROUS_RATE
         l_atrous = c.TRAIN_LOCAL_ATROUS_RATE if train else c.TEST_LOCAL_ATROUS_RATE
         use_pallas = c.USE_PALLAS and jax.default_backend() == "tpu"
@@ -159,7 +162,7 @@ class AOCNet(nn.Module):
         local_fg = local_matching_bank(
             current_emb, prev_emb, prev_onehot, bias,
             c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
-            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=dtype)
+            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype)
 
         # 4. instance proxies + proxy matching (aocnet.py:270-337)
         heads = attention_heads(ref_emb_bank, ref_onehot, slot_valid,
@@ -169,9 +172,9 @@ class AOCNet(nn.Module):
         prev_emb_inst = proxy_reconstructed_embedding(prev_onehot,
                                                       heads.prev_pos)
         local_proxy = local_matching_bank(
-            current_emb, prev_emb_inst, prev_onehot, bias,
+            current_emb, prev_emb_inst.astype(op_dtype), prev_onehot, bias,
             c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
-            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=dtype)
+            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype)
 
         # 5. concat in reference channel order (aocnet.py:349-358)
         parts = [global_fg, global_cluster, global_proxy, local_fg,
@@ -190,8 +193,12 @@ class AOCNet(nn.Module):
         pre = self.dynamic_prehead(maps)
         cur = jnp.broadcast_to(current_emb[None], (o,) + current_emb.shape)
         x = jnp.concatenate([cur, pre], axis=-1)
+        # heads/validity are f32; cast so they don't re-promote the
+        # decoder towers when running bf16
+        head = heads.total_head.astype(current_emb.dtype)
         logits, new_memory = self.dynamic_seghead(
-            x, heads.total_head, memory, current_low[None], obj_valid)
+            x, head, memory, current_low[None],
+            obj_valid.astype(current_emb.dtype))
 
         # invalid object channels can never win the softmax/argmax
         logits = jnp.where(obj_valid[:, None, None].astype(bool), logits, -1e9)

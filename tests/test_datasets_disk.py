@@ -104,3 +104,10 @@ def test_ytb_train_and_eval(ytb_root, tmp_path):
     assert seq.obj_nums[1] == 2
     s1 = seq[1]
     assert "current_label" in s1          # mid-video GT (join_label path)
+
+
+def test_davis_label_aware_variant(davis_root):
+    """DAVIS_Test_w_label / VOS_Test_all equivalent: GT every frame."""
+    seq = DAVISTest(davis_root, split=("val",), all_labels=True)[0]
+    for i in range(len(seq)):
+        assert "current_label" in seq[i]
