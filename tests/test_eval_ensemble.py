@@ -1,0 +1,70 @@
+"""Multi-scale / flip ensemble path of the streaming evaluator
+(reference TEST_FLIP / TEST_MULTISCALE averaging, eval_manager :318-320)
+plus loss variants and the metrics logger."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rvos_tpu.configs import tiny_test
+from rvos_tpu.data.datasets import SyntheticEval
+
+
+@pytest.mark.slow
+def test_flip_ensemble_eval(tmp_path):
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models.aocnet import init_model
+
+    cfg = tiny_test(
+        DATA_RANDOMCROP=(33, 33),
+        MODEL_MULTI_LOCAL_DISTANCE=(1, 2),
+        MODEL_MAX_OBJ_NUM=3,
+        TEST_MAX_SIZE=None,
+        TEST_FLIP=True,
+    )
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
+    ev = Evaluator(cfg, model, variables)
+    ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=3, obj_num=2)
+    out = ev.evaluate_sequence(ds[0], save_dir=str(tmp_path))
+    assert out["frames"] == 2
+    for mask in out["results"].values():
+        assert mask.shape == (33, 33)
+
+
+def test_bce_loss_values(rng):
+    from rvos_tpu.engine.loss import hard_mining_bce
+    o, h, w = 3, 8, 8
+    logits = jnp.asarray(rng.standard_normal((o, h, w)).astype(np.float32))
+    target = jnp.asarray((rng.uniform(size=(o, h, w)) > 0.5).astype(np.float32))
+    loss = hard_mining_bce(logits, target, jnp.asarray(0), 0.5, 10)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # perfect logits → tiny loss
+    perfect = jnp.where(target > 0.5, 20.0, -20.0)
+    assert float(hard_mining_bce(perfect, target, jnp.asarray(100), 0.5, 10)) < 1e-3
+
+
+def test_metrics_logger(tmp_path):
+    from rvos_tpu.utils.logging import MetricsLogger
+    lg = MetricsLogger(str(tmp_path))
+    lg.log(10, {"loss": 1.5, "iou": 0.7})
+    lg.log(20, {"loss": 1.2, "iou": 0.8})
+    lg.close()
+    lines = [json.loads(x) for x in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["step"] == 10 and lines[1]["iou"] == 0.8
+
+
+def test_lr_schedule_reference_shape():
+    from rvos_tpu.configs import Config
+    from rvos_tpu.engine.learning import lr_schedule
+    cfg = Config(TRAIN_LR=0.2, TRAIN_WARM_UP_STEPS=100,
+                 TRAIN_TOTAL_STEPS=1000, TRAIN_POWER=0.9)
+    fn = lr_schedule(cfg)
+    # warmup ramps linearly
+    assert abs(float(fn(50)) - 0.1) < 1e-6
+    # poly decay after warmup, floored at 1e-5
+    assert float(fn(100)) <= 0.2 + 1e-6
+    assert float(fn(999)) >= 1e-5
+    assert float(fn(500)) > float(fn(900))
