@@ -162,7 +162,8 @@ class AOCNet(nn.Module):
         local_fg = local_matching_bank(
             current_emb, prev_emb, prev_onehot, bias,
             c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
-            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype)
+            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype,
+            use_pallas=use_pallas)
 
         # 4. instance proxies + proxy matching (aocnet.py:270-337)
         heads = attention_heads(ref_emb_bank, ref_onehot, slot_valid,
@@ -174,7 +175,8 @@ class AOCNet(nn.Module):
         local_proxy = local_matching_bank(
             current_emb, prev_emb_inst.astype(op_dtype), prev_onehot, bias,
             c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
-            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype)
+            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype,
+            use_pallas=use_pallas)
 
         # 5. concat in reference channel order (aocnet.py:349-358)
         parts = [global_fg, global_cluster, global_proxy, local_fg,

@@ -335,6 +335,7 @@ def local_matching_bank(
     atrous_rate: int = 1,
     allow_downsample: bool = True,
     dtype=jnp.float32,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Multi-radius local NN matching: returns [H, W, O, n_radii].
 
@@ -361,8 +362,14 @@ def local_matching_bank(
     k = 2 * a_max + 1
     radii = tuple(int(r) // atrous_rate for r in multi_local_distance)
 
-    multi = _local_matching_online(x, y, labels, radii, a_max, k,
-                                   atrous_rate, pad_d)                # [h, w, O, n]
+    if use_pallas:
+        from .pallas_local import local_matching_pallas
+        multi = local_matching_pallas(x, y, labels,
+                                      tuple(multi_local_distance),
+                                      atrous_rate)                    # [h, w, O, n]
+    else:
+        multi = _local_matching_online(x, y, labels, radii, a_max, k,
+                                       atrous_rate, pad_d)            # [h, w, O, n]
     multi = squash_distance(multi.astype(jnp.float32), dis_bias)
     if (h, w) != (ori_h, ori_w):
         multi = resize_hw(multi, (ori_h, ori_w), "bilinear")

@@ -225,3 +225,20 @@ def test_compact_reference_bank_overflow(rng):
     ce, cl = compact_reference_bank(jnp.asarray(emb), jnp.asarray(lab), 32)
     assert ce.shape == (32, c)
     assert np.asarray(cl)[:, 1].sum() == 32   # all selected are fg
+
+
+def test_pallas_local_matching_interpret_matches_xla(rng):
+    from rvos_tpu.ops.pallas_local import local_matching_pallas
+    h, w, c, o = 13, 15, 6, 3
+    radii = (1, 2, 3)
+    x = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+    onehot = jnp.asarray(np.eye(o, dtype=np.float32)[
+        rng.integers(0, o, size=(h, w))])
+    bias = jnp.asarray(rng.standard_normal((o,)).astype(np.float32) * 0.1)
+    got_raw = np.asarray(local_matching_pallas(x, y, onehot, radii, 1,
+                                               interpret=True))
+    got = _squash(got_raw, np.asarray(bias)[None, None, :, None])
+    want = np.asarray(local_matching_bank(x, y, onehot, bias, radii,
+                                          allow_downsample=False))
+    np.testing.assert_allclose(got, want, atol=1e-3)
