@@ -131,6 +131,7 @@ class Config:
     MATCHING_DTYPE: str = "mixed"          # "float32" (exact) | "mixed" (bf16 cross, f32 norms) | "bfloat16"
     MATCHING_MAX_REF_PIXELS: int = 16384   # fg-union bank compaction cap (0 = off)
     USE_PALLAS: bool = True                # fused Pallas kernels on TPU backends
+    USE_PALLAS_LOCAL: bool = False         # local-matching kernel (XLA scan is on par)
     EVAL_COMPUTE_DTYPE: str = "bfloat16"   # eval-time model compute ("float32" for parity)
     MESH_DATA_AXIS: int = 8                # data-parallel mesh size for training
     CHECKPOINT_DIR: str = ""

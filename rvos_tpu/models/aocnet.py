@@ -127,6 +127,7 @@ class AOCNet(nn.Module):
         g_atrous = c.TRAIN_GLOBAL_ATROUS_RATE if train else c.TEST_GLOBAL_ATROUS_RATE
         l_atrous = c.TRAIN_LOCAL_ATROUS_RATE if train else c.TEST_LOCAL_ATROUS_RATE
         use_pallas = c.USE_PALLAS and jax.default_backend() == "tpu"
+        use_pallas_local = use_pallas and c.USE_PALLAS_LOCAL
 
         # masked slots/objects never contribute
         ref_onehot = ref_onehot * obj_valid[None, None, None, :]
@@ -163,7 +164,7 @@ class AOCNet(nn.Module):
             current_emb, prev_emb, prev_onehot, bias,
             c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
             allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas_local)
 
         # 4. instance proxies + proxy matching (aocnet.py:270-337)
         heads = attention_heads(ref_emb_bank, ref_onehot, slot_valid,
@@ -176,7 +177,7 @@ class AOCNet(nn.Module):
             current_emb, prev_emb_inst.astype(op_dtype), prev_onehot, bias,
             c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
             allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas_local)
 
         # 5. concat in reference channel order (aocnet.py:349-358)
         parts = [global_fg, global_cluster, global_proxy, local_fg,
