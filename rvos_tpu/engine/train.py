@@ -60,8 +60,13 @@ def _downscale_labels(labels, hw):
 
 
 def make_train_step(cfg: Config, model: AOCNet, tx):
-    """Build the jitted train step: (state, batch, rng) → (state, metrics)."""
-    o = cfg.MODEL_MAX_OBJ_NUM
+    """Build the jitted train step: (state, batch, rng) → (state, metrics).
+
+    The training object axis is DATA_MAX_OBJ_NUM+1 (BalancedRandomCrop
+    caps at 5 objects, custom_transforms.py:67) — params are object-
+    count agnostic, so eval can use the wider MODEL_MAX_OBJ_NUM axis.
+    """
+    o = min(cfg.DATA_MAX_OBJ_NUM + 1, cfg.MODEL_MAX_OBJ_NUM)
     t_len = cfg.DATA_CURR_SEQ_LEN
 
     def loss_fn(params, batch, step, rng):

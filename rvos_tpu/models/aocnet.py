@@ -126,7 +126,10 @@ class AOCNet(nn.Module):
         op_dtype = current_emb.dtype if mixed else dtype
         g_atrous = c.TRAIN_GLOBAL_ATROUS_RATE if train else c.TEST_GLOBAL_ATROUS_RATE
         l_atrous = c.TRAIN_LOCAL_ATROUS_RATE if train else c.TEST_LOCAL_ATROUS_RATE
-        use_pallas = c.USE_PALLAS and jax.default_backend() == "tpu"
+        # Pallas kernels are inference-only (no custom VJP — the train
+        # path differentiates through the XLA online-min formulation)
+        use_pallas = (c.USE_PALLAS and not train
+                      and jax.default_backend() == "tpu")
         use_pallas_local = use_pallas and c.USE_PALLAS_LOCAL
 
         # masked slots/objects never contribute

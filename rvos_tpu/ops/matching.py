@@ -170,9 +170,11 @@ def _global_matching_xla(q, r_emb, r_lab, tile_r):
         cross = jnp.dot(q, re.T, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)    # [M, T]
         d = q2[:, None] + r2[None, :] - 2.0 * cross
-        # penalty for wrong-object / padded reference pixels
+        # penalty for wrong-object / padded reference pixels; per-object
+        # fused min — never materialize [M, T, O]
         pen = (1.0 - rl.astype(jnp.float32)) * WRONG_LABEL_PADDING_DISTANCE
-        dm = jnp.min(d[:, :, None] + pen[None, :, :], axis=1)         # [M, O]
+        dm = jnp.stack([jnp.min(d + pen[None, :, oo], axis=1)
+                        for oo in range(o)], axis=1)                  # [M, O]
         return jnp.minimum(carry, dm), None
 
     init = jnp.full((m, o), jnp.inf, dtype=jnp.float32)
