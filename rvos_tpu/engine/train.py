@@ -77,6 +77,10 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                                rngs={"dropout": drop_rng},
                                method=AOCNet.extract_feature)
 
+        if cfg.TRAIN_REMAT:
+            extract = jax.checkpoint(
+                extract, policy=jax.checkpoint_policies.nothing_saveable)
+
         rngs = jax.random.split(rng, t_len + 2)
         ref_emb, _ = extract(batch["ref_img"], rngs[0])
         prev_emb, _ = extract(batch["prev_img"], rngs[1])
@@ -144,8 +148,16 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
         drop_rngs = jnp.stack([rngs[2 + i] for i in range(t_len)])
         seg_rngs = jax.random.split(jax.random.fold_in(rng, 1), t_len)
         carry0 = (prev_emb, prev_lab, prev_lab, mem0)
+        body = scan_body
+        if cfg.TRAIN_REMAT:
+            # whole-rollout AD would hold every frame's activations —
+            # ~5x peak HBM; remat keeps only the carries and recomputes
+            # the frame forward during the backward pass
+            # (jax.checkpoint, SURVEY.md §7 / HBM-bandwidth tradeoff)
+            body = jax.checkpoint(
+                scan_body, policy=jax.checkpoint_policies.nothing_saveable)
         _, (losses, ious) = jax.lax.scan(
-            scan_body, carry0,
+            body, carry0,
             (batch["curr_img"], batch["curr_label"], drop_rngs, seg_rngs))
         return jnp.mean(losses), (losses, ious)
 
