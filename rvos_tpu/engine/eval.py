@@ -258,14 +258,16 @@ class Evaluator:
                 st.prev_lab = pred_small
                 if self.mem_every > -1 and frame_idx % self.mem_every == 0:
                     st.add_ref(emb, conf_small)
-                pred_label = np.asarray(pred_u8)
+                # keep the mask on device; the saver thread performs the
+                # D2H + PNG write while the next frame computes
                 seq_time += time.time() - t_start
                 seq_frames += 1
-                results[meta["current_name"]] = pred_label
+                results[meta["current_name"]] = pred_u8
                 if save_dir is not None:
                     name = os.path.splitext(meta["current_name"])[0] + ".png"
                     pending.append(saver.submit(
-                        save_mask, pred_label, os.path.join(save_dir, name)))
+                        lambda arr, path: save_mask(np.asarray(arr), path),
+                        pred_u8, os.path.join(save_dir, name)))
                 continue
 
             for aug_idx, var in enumerate(variants):
@@ -351,6 +353,7 @@ class Evaluator:
         for f in pending:
             f.result()
         saver.shutdown(wait=True)
+        results = {k: np.asarray(v) for k, v in results.items()}
         fps = seq_frames / max(seq_time, 1e-6)
         return {"results": results, "fps": fps, "frames": seq_frames,
                 "time": seq_time}
