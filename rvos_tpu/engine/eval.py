@@ -350,10 +350,14 @@ class Evaluator:
                 print(f"Frame {meta['current_name']} obj={obj_num} "
                       f"t={time.time() - t_start:.3f}s")
 
+        # drain async transfers/writes; count the tail toward the
+        # sequence time so FPS reflects completed frames, not dispatches
+        t_drain = time.time()
         for f in pending:
             f.result()
         saver.shutdown(wait=True)
         results = {k: np.asarray(v) for k, v in results.items()}
+        seq_time += time.time() - t_drain
         fps = seq_frames / max(seq_time, 1e-6)
         return {"results": results, "fps": fps, "frames": seq_frames,
                 "time": seq_time}
