@@ -177,7 +177,10 @@ def _global_matching_xla(q, r_emb, r_lab, tile_r):
                         for oo in range(o)], axis=1)                  # [M, O]
         return jnp.minimum(carry, dm), None
 
-    init = jnp.full((m, o), jnp.inf, dtype=jnp.float32)
+    # derive the init from q so its device-varying axes match the scan
+    # outputs under shard_map (context-parallel query sharding)
+    init = jnp.full((m, o), jnp.inf, dtype=jnp.float32) \
+        + 0.0 * q2[:, None].astype(jnp.float32)
     out, _ = jax.lax.scan(body, init, (r_emb_t, r_lab_t))
     return out
 
