@@ -40,7 +40,7 @@ def main(argv=None):
     from ..configs import get_config
     from ..data.datasets import DAVISTest, SyntheticEval, YTBVOSTest
     from ..data.perturb import get_perturbation
-    from ..engine.checkpoint import list_checkpoint_steps, restore_checkpoint
+    from ..engine.checkpoint import restore_checkpoint
     from ..engine.eval import Evaluator
     from ..models.aocnet import init_model
 

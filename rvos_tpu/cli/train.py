@@ -8,9 +8,6 @@ the mesh's data-axis size for parity.
 from __future__ import annotations
 
 import argparse
-import functools
-import os
-import sys
 
 
 def build_parser():

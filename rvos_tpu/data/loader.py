@@ -11,7 +11,6 @@ assembles the fixed-shape batch dict the jitted train step consumes.
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Callable, Dict, Iterator, Optional, Sequence
 

@@ -28,7 +28,6 @@ TPU-native re-design:
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Dict, List, Optional
@@ -43,7 +42,6 @@ from ..models import AOCNet, DecoderMemory
 from ..ops.entropy import shannon_entropy
 from ..ops.resize import resize_hw
 from ..utils.image import save_mask
-from ..utils.meters import AverageMeter
 
 UNCERTAIN_LABEL = 125   # ref eval_manager_mm.py:346
 

@@ -27,8 +27,6 @@ TPU-native re-design:
 
 from __future__ import annotations
 
-import functools
-import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 

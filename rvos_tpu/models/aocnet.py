@@ -15,7 +15,7 @@ Matching-map concat order (``aocnet.py:355-358``):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -26,8 +26,6 @@ dim exactly like the reference's per-object decoding.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ is the entire normalization story of the backbone.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -38,7 +38,6 @@ one-hot labels [..., O] with object channel 0 = background.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

@@ -12,7 +12,7 @@ single video's bank outgrows one chip.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
