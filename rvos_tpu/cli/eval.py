@@ -88,7 +88,9 @@ def main(argv=None):
         spatial = (65, 65)
 
     model, variables = init_model(cfg, jax.random.PRNGKey(0), spatial)
-    if args.ckpt_path or args.ckpt_step > 0:
+    # like the reference (eval_manager_mm.py:54-66): explicit path/step,
+    # else auto-pick the newest checkpoint in the experiment's ckpt dir
+    if not args.synthetic or args.ckpt_path or args.ckpt_step > 0:
         from ..engine.train import TrainState
         dirs = cfg.result_dirs()
         ckpt_dir = args.ckpt_path or dirs["ckpt"]
