@@ -23,7 +23,10 @@ def hard_mining_ce(
     logp = jax.nn.log_softmax(logits, axis=0)             # [O, H, W]
     ignore = labels == 255
     lab = jnp.where(ignore, 0, labels)
-    pix_loss = -jnp.take_along_axis(logp, lab[None], axis=0)[0]
+    # one-hot contraction instead of take_along_axis: XLA:TPU lowers the
+    # per-pixel gather to a serialized loop (millions of tiny ops)
+    onehot = jax.nn.one_hot(lab, o, axis=0, dtype=logp.dtype)
+    pix_loss = -jnp.sum(logp * onehot, axis=0)
     pix_loss = jnp.where(ignore, 0.0, pix_loss)           # ref: ignored → no loss
     flat = pix_loss.reshape(-1)
     n = flat.shape[0]

@@ -156,8 +156,12 @@ class AOCNet(nn.Module):
             current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
             bias, dtype=dtype, use_pallas=use_pallas, mixed=mixed)
 
-        # 2. AOP cluster matching (aocnet.py:207-251)
-        banks = cluster_objects(flat_emb, flat_lab, kmeans_key,
+        # 2. AOP cluster matching (aocnet.py:207-251).  The reference
+        # clusters DETACHED embeddings (matching.py:289 .detach().cpu())
+        # — no gradient flows into the banks; stop_gradient both matches
+        # that and avoids differentiating 20 Lloyd iterations.
+        banks = cluster_objects(jax.lax.stop_gradient(flat_emb),
+                                jax.lax.stop_gradient(flat_lab), kmeans_key,
                                 k=c.MODEL_CLUSTER_NUM,
                                 iters=c.MODEL_KMEANS_ITERS, mixed=mixed)
         global_cluster = cluster_matching(current_emb, banks, bias, dtype=dtype)

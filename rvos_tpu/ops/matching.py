@@ -111,8 +111,8 @@ def global_matching_flat(
         d_min = global_matching_pallas(q, r_emb.astype(dtype),
                                        r_lab.astype(dtype), mixed=mixed)
     else:
-        d_min = _global_matching_xla(q, r_emb.astype(dtype),
-                                     r_lab.astype(dtype), tile_r)
+        d_min = global_matching_min(q, r_emb.astype(dtype),
+                                    r_lab.astype(dtype))
     d_min = d_min.astype(jnp.float32).reshape(h, w, o)
     return squash_distance(d_min[..., None], dis_bias)
 
@@ -144,6 +144,89 @@ def global_matching_bank(
     return global_matching_flat(query_emb, r_emb, r_lab, dis_bias,
                                 tile_r=tile_r, dtype=dtype,
                                 use_pallas=use_pallas)
+
+
+_VJP_TILE_R = 4096
+
+
+@jax.custom_vjp
+def global_matching_min(q, r_emb, r_lab):
+    """[M, O] per-object min distances with a memory-lean custom VJP.
+
+    Plain autodiff through the masked-min scan keeps [M, T] residuals
+    per tile (and pushed the 465² train step off the HBM cliff — XLA
+    spatially sliced the whole program); the analytic gradient only
+    touches the argmin pairs:
+
+        d(m,o) = ‖q_m − r_a‖² + pen   with a = argmin
+        ∂/∂q_m = 2 Σ_o g(m,o) (q_m − r_a) ;  ∂/∂r_a = −2 g(m,o)(q_m − r_a)
+    """
+    dmin, _ = _global_matching_argmin(q, r_emb, r_lab, _VJP_TILE_R)
+    return dmin
+
+
+def _global_matching_fwd(q, r_emb, r_lab):
+    dmin, amin = _global_matching_argmin(q, r_emb, r_lab, _VJP_TILE_R)
+    return dmin, (q, r_emb, r_lab, amin)
+
+
+def _global_matching_bwd(res, g):
+    q, r_emb, r_lab, amin = res
+    m, c = q.shape
+    o = amin.shape[1]
+    r_sel = r_emb[amin.reshape(-1)].reshape(m, o, c)       # [M, O, C]
+    diff = q[:, None, :].astype(jnp.float32) - r_sel.astype(jnp.float32)
+    gd = (2.0 * g.astype(jnp.float32))[:, :, None] * diff  # [M, O, C]
+    dq = jnp.sum(gd, axis=1)
+    dr = jnp.zeros(r_emb.shape, jnp.float32).at[amin.reshape(-1)].add(
+        -gd.reshape(-1, c))
+    return (dq.astype(q.dtype), dr.astype(r_emb.dtype),
+            jnp.zeros_like(r_lab))
+
+
+global_matching_min.defvjp(_global_matching_fwd, _global_matching_bwd)
+
+
+def _global_matching_argmin(q, r_emb, r_lab, tile_r):
+    """Tiled online (min, argmin) over the reference axis → [M,O],[M,O]."""
+    m, c = q.shape
+    r, o = r_lab.shape
+    q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
+
+    n_tiles = max(1, -(-r // tile_r))
+    pad_r = n_tiles * tile_r - r
+    if pad_r:
+        r_emb = jnp.pad(r_emb, ((0, pad_r), (0, 0)))
+        r_lab = jnp.pad(r_lab, ((0, pad_r), (0, 0)))
+    r_emb_t = r_emb.reshape(n_tiles, tile_r, c)
+    r_lab_t = r_lab.reshape(n_tiles, tile_r, o)
+
+    def body(carry, tile):
+        best, best_i, start = carry
+        re, rl = tile
+        r2 = jnp.sum(jnp.square(re.astype(jnp.float32)), axis=-1)
+        cross = jnp.dot(q, re.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d = q2[:, None] + r2[None, :] - 2.0 * cross
+        pen = (1.0 - rl.astype(jnp.float32)) * WRONG_LABEL_PADDING_DISTANCE
+        new_best, new_i = [], []
+        for oo in range(o):
+            do = d + pen[None, :, oo]
+            mn = jnp.min(do, axis=1)
+            am = jnp.argmin(do, axis=1).astype(jnp.int32) + start
+            take = mn < best[:, oo]
+            new_best.append(jnp.where(take, mn, best[:, oo]))
+            new_i.append(jnp.where(take, am, best_i[:, oo]))
+        return (jnp.stack(new_best, 1), jnp.stack(new_i, 1),
+                start + tile_r), None
+
+    init_best = jnp.full((m, o), jnp.inf, jnp.float32) \
+        + 0.0 * q2[:, None].astype(jnp.float32)
+    init_i = jnp.zeros((m, o), jnp.int32) + 0 * q2[:, None].astype(jnp.int32)
+    (best, best_i, _), _ = jax.lax.scan(
+        body, (init_best, init_i, jnp.int32(0)), (r_emb_t, r_lab_t))
+    best_i = jnp.minimum(best_i, r - 1)       # clamp padded-tile indices
+    return best, best_i
 
 
 def _global_matching_xla(q, r_emb, r_lab, tile_r):

@@ -242,3 +242,31 @@ def test_pallas_local_matching_interpret_matches_xla(rng):
     want = np.asarray(local_matching_bank(x, y, onehot, bias, radii,
                                           allow_downsample=False))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_global_matching_custom_vjp_grads(rng):
+    """Custom VJP (argmin-pair gradient) vs autodiff of the dense oracle."""
+    import jax
+    from rvos_tpu.ops.matching import global_matching_min
+    m_, r_, c_, o_ = 12, 17, 5, 2
+    q = jnp.asarray(rng.standard_normal((m_, c_)).astype(np.float32))
+    re = jnp.asarray(rng.standard_normal((r_, c_)).astype(np.float32))
+    lab = jnp.asarray(np.eye(o_, dtype=np.float32)[
+        rng.integers(0, o_, size=(r_,))])
+
+    def dense(q, re):
+        d = jnp.sum((q[:, None] - re[None]) ** 2, -1)
+        pen = (1.0 - lab) * WRONG_LABEL_PADDING_DISTANCE
+        return jnp.min(d[:, :, None] + pen[None], axis=1)
+
+    w = jnp.asarray(rng.standard_normal((m_, o_)).astype(np.float32))
+    f_custom = lambda q, re: jnp.sum(global_matching_min(q, re, lab) * w)
+    f_dense = lambda q, re: jnp.sum(dense(q, re) * w)
+    np.testing.assert_allclose(float(f_custom(q, re)), float(f_dense(q, re)),
+                               rtol=1e-4)
+    gq_c, gr_c = jax.grad(f_custom, argnums=(0, 1))(q, re)
+    gq_d, gr_d = jax.grad(f_dense, argnums=(0, 1))(q, re)
+    np.testing.assert_allclose(np.asarray(gq_c), np.asarray(gq_d),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gr_c), np.asarray(gr_d),
+                               atol=1e-3, rtol=1e-3)
