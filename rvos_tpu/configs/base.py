@@ -128,6 +128,7 @@ class Config:
     MODEL_MAX_OBJ_NUM: int = 11            # static object axis (incl. background)
     TRAIN_SEQ_GRADIENT: str = "carry"      # "carry" | "detach" prev-embedding grad
     TRAIN_REMAT: bool = True               # remat the rollout body (trade FLOPs for HBM)
+    TRAIN_COMPUTE_DTYPE: str = "float32"   # "bfloat16": mixed-precision forward (f32 params/grads)
     TEST_BANK_CAPACITY: int = 8            # fixed-capacity RPA bank (first frame pinned)
     MATCHING_DTYPE: str = "mixed"          # "float32" (exact) | "mixed" (bf16 cross, f32 norms) | "bfloat16"
     MATCHING_MAX_REF_PIXELS: int = 16384   # fg-union bank compaction cap (0 = off)

@@ -68,10 +68,24 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
     t_len = cfg.DATA_CURR_SEQ_LEN
 
     def loss_fn(params, batch, step, rng):
-        variables = {"params": params}
+        if cfg.TRAIN_COMPUTE_DTYPE == "bfloat16":
+            # mixed precision: bf16 forward activations, f32 master
+            # params and grads (the cast is differentiated) — halves
+            # activation HBM, the lever that lifts the 465² train step
+            # off the 16GB cliff (see ROUND_NOTES.md)
+            fwd_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
+        else:
+            fwd_params = params
+        variables = {"params": fwd_params}
+
+        in_dtype = (jnp.bfloat16 if cfg.TRAIN_COMPUTE_DTYPE == "bfloat16"
+                    else jnp.float32)
 
         def extract(imgs, drop_rng):
-            return model.apply(variables, imgs, False,
+            return model.apply(variables, imgs.astype(in_dtype), False,
                                rngs={"dropout": drop_rng},
                                method=AOCNet.extract_feature)
 
@@ -91,13 +105,14 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
         obj_valid = (jnp.arange(o)[None, :]
                      <= batch["obj_num"][:, None]).astype(jnp.float32)
 
-        ref_onehot = jax.nn.one_hot(ref_lab, o)                   # [B, h, w, O]
+        ref_onehot = jax.nn.one_hot(ref_lab, o,
+                                    dtype=ref_emb.dtype)          # [B, h, w, O]
 
         mem_h = (h + 1) // 2
         mem_w = (w + 1) // 2
         mem0 = DecoderMemory(
             slots=jnp.zeros((b, 2, o, mem_h, mem_w,
-                             cfg.MODEL_HEAD_EMBEDDING_DIM)),
+                             cfg.MODEL_HEAD_EMBEDDING_DIM), ref_emb.dtype),
             valid=jnp.zeros((b, 2), bool))
 
         def scan_body(carry, xs):
@@ -116,7 +131,7 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                 lambda ce, cl, re_, ro_, pe, pl, ov, ms, mv, k:
                 model.apply(
                     variables, ce, cl, re_[None], ro_[None], jnp.ones((1,)),
-                    pe, jax.nn.one_hot(pl, o), ov,
+                    pe, jax.nn.one_hot(pl, o, dtype=ce.dtype), ov,
                     DecoderMemory(ms, mv), k, True,
                     method=AOCNet.segment_frame))(
                 cur_emb, cur_low, ref_emb, ref_onehot, prev_e, prev_l,
@@ -125,7 +140,7 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
 
             # upsample to input resolution for the loss (aocnet.py:73)
             def up(lg):
-                x = jnp.transpose(lg, (1, 2, 0))
+                x = jnp.transpose(lg, (1, 2, 0)).astype(jnp.float32)
                 x = resize_hw(x, full_hw, "bilinear")
                 return jnp.transpose(x, (2, 0, 1))
             logits_full = jax.vmap(up)(logits)                    # [B, O, H, W]
