@@ -85,9 +85,12 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                     else jnp.float32)
 
         def extract(imgs, drop_rng):
-            return model.apply(variables, imgs.astype(in_dtype), False,
-                               rngs={"dropout": drop_rng},
-                               method=AOCNet.extract_feature)
+            emb, low = model.apply(variables, imgs.astype(in_dtype), False,
+                                   rngs={"dropout": drop_rng},
+                                   method=AOCNet.extract_feature)
+            # flax norm layers can emit f32 from bf16 inputs; keep the
+            # activation dtype stable across the scan carry
+            return emb.astype(in_dtype), low.astype(in_dtype)
 
         if cfg.TRAIN_REMAT:
             extract = jax.checkpoint(
@@ -119,8 +122,10 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
             prev_e, prev_l_gt, prev_l_pred, mem = carry
             cur_img, cur_lab_full, drop_rng, seg_rng = xs
             cur_emb, cur_low = model.apply(
-                variables, cur_img, False, rngs={"dropout": drop_rng},
-                method=AOCNet.extract_feature)
+                variables, cur_img.astype(in_dtype), False,
+                rngs={"dropout": drop_rng}, method=AOCNet.extract_feature)
+            cur_emb = cur_emb.astype(in_dtype)
+            cur_low = cur_low.astype(in_dtype)
             if cfg.TRAIN_SEQ_GRADIENT == "detach":
                 prev_e = jax.lax.stop_gradient(prev_e)
             # burn-in: predicted prev mask after the threshold step
@@ -137,6 +142,8 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                 cur_emb, cur_low, ref_emb, ref_onehot, prev_e, prev_l,
                 obj_valid, mem.slots, mem.valid,
                 jax.random.split(seg_rng, b))
+            new_mem = DecoderMemory(new_mem.slots.astype(in_dtype),
+                                    new_mem.valid)
 
             # upsample to input resolution for the loss (aocnet.py:73)
             def up(lg):
