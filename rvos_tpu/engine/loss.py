@@ -38,10 +38,15 @@ def hard_mining_ce(
         k = jnp.floor((ratio * top_k_percent + (1.0 - ratio)) * n)
     k = jnp.maximum(k, 1.0)
 
-    sorted_desc = jnp.sort(flat)[::-1]
-    idx = jnp.arange(n, dtype=jnp.float32)
-    mask = (idx < k).astype(flat.dtype)
-    return jnp.sum(sorted_desc * mask) / k
+    # top-k mean via a stop-gradient threshold: differentiating through
+    # jnp.sort emits a 216k-element scatter in the backward pass, which
+    # XLA:TPU serializes into a per-element loop (~40s/step observed).
+    flat_sg = jax.lax.stop_gradient(flat)
+    sorted_desc = jnp.sort(flat_sg)[::-1]
+    kth = jnp.take(sorted_desc, (k - 1.0).astype(jnp.int32))
+    sel = (flat_sg >= kth).astype(flat.dtype)
+    count = jnp.maximum(jnp.sum(sel), 1.0)
+    return jnp.sum(flat * sel) / count
 
 
 def hard_mining_bce(
