@@ -118,14 +118,20 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                              cfg.MODEL_HEAD_EMBEDDING_DIM), ref_emb.dtype),
             valid=jnp.zeros((b, 2), bool))
 
+        # extract ALL rollout frames in one conv-batch-(T*B) call:
+        # feature extraction has no temporal recurrence (only matching
+        # does), and XLA:TPU schedules conv weight-gradients poorly at
+        # batch 1 (row-sliced backward — see ROUND_NOTES.md)
+        t_, b_ = batch["curr_img"].shape[:2]
+        flat_imgs = batch["curr_img"].reshape((t_ * b_,)
+                                              + batch["curr_img"].shape[2:])
+        curr_embs, curr_lows = extract(flat_imgs, rngs[2])
+        curr_embs = curr_embs.reshape((t_, b_) + curr_embs.shape[1:])
+        curr_lows = curr_lows.reshape((t_, b_) + curr_lows.shape[1:])
+
         def scan_body(carry, xs):
             prev_e, prev_l_gt, prev_l_pred, mem = carry
-            cur_img, cur_lab_full, drop_rng, seg_rng = xs
-            cur_emb, cur_low = model.apply(
-                variables, cur_img.astype(in_dtype), False,
-                rngs={"dropout": drop_rng}, method=AOCNet.extract_feature)
-            cur_emb = cur_emb.astype(in_dtype)
-            cur_low = cur_low.astype(in_dtype)
+            cur_emb, cur_low, cur_lab_full, seg_rng = xs
             if cfg.TRAIN_SEQ_GRADIENT == "detach":
                 prev_e = jax.lax.stop_gradient(prev_e)
             # burn-in: predicted prev mask after the threshold step
@@ -165,7 +171,6 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
             new_carry = (cur_emb, cur_lab_small, pred_small, new_mem)
             return new_carry, (jnp.mean(losses), iou)
 
-        drop_rngs = jnp.stack([rngs[2 + i] for i in range(t_len)])
         seg_rngs = jax.random.split(jax.random.fold_in(rng, 1), t_len)
         carry0 = (prev_emb, prev_lab, prev_lab, mem0)
         body = scan_body
@@ -178,7 +183,7 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                 scan_body, policy=jax.checkpoint_policies.nothing_saveable)
         _, (losses, ious) = jax.lax.scan(
             body, carry0,
-            (batch["curr_img"], batch["curr_label"], drop_rngs, seg_rngs))
+            (curr_embs, curr_lows, batch["curr_label"], seg_rngs))
         return jnp.mean(losses), (losses, ious)
 
     def train_step(state: TrainState, batch, rng):
