@@ -196,6 +196,7 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                    "grad_norm": optax.global_norm(grads)}
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
+    train_step.loss_fn = loss_fn   # exposed for profiling / tests
     return train_step
 
 
