@@ -173,13 +173,32 @@ def _global_matching_fwd(q, r_emb, r_lab):
 def _global_matching_bwd(res, g):
     q, r_emb, r_lab, amin = res
     m, c = q.shape
+    r = r_emb.shape[0]
     o = amin.shape[1]
-    r_sel = r_emb[amin.reshape(-1)].reshape(m, o, c)       # [M, O, C]
+    r_sel = jnp.take(r_emb, amin.reshape(-1), axis=0).reshape(m, o, c)
     diff = q[:, None, :].astype(jnp.float32) - r_sel.astype(jnp.float32)
     gd = (2.0 * g.astype(jnp.float32))[:, :, None] * diff  # [M, O, C]
     dq = jnp.sum(gd, axis=1)
-    dr = jnp.zeros(r_emb.shape, jnp.float32).at[amin.reshape(-1)].add(
-        -gd.reshape(-1, c))
+
+    # dr without scatter: this XLA stack serializes scatter-add into a
+    # per-row loop (like the gathers it serializes) — instead compare
+    # amin against reference-row tiles and contract with a matmul.
+    TR = 2048
+    n_tiles = -(-r // TR)
+    amin_f = amin.reshape(m * o)                            # [MO]
+    gneg = (-gd).reshape(m * o, c)                          # [MO, C]
+
+    def tile_body(carry, t):
+        start = t * TR
+        iota = start + jnp.arange(TR, dtype=jnp.int32)
+        eq = (amin_f[:, None] == iota[None, :]).astype(jnp.float32)
+        drt = jnp.einsum("mt,mc->tc", eq, gneg,
+                         preferred_element_type=jnp.float32)
+        return carry, drt
+
+    _, dr_tiles = jax.lax.scan(tile_body, 0,
+                               jnp.arange(n_tiles, dtype=jnp.int32))
+    dr = dr_tiles.reshape(n_tiles * TR, c)[:r]
     return (dq.astype(q.dtype), dr.astype(r_emb.dtype),
             jnp.zeros_like(r_lab))
 
