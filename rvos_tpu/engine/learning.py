@@ -43,31 +43,32 @@ def lr_schedule(cfg: Config) -> Callable:
     return fn
 
 
-def _is_frozen_bn(path) -> bool:
-    leaf = path[-1]
-    return leaf in ("running_mean", "running_var") or (
-        leaf in ("weight", "bias") and any(
-            p.startswith(("bn", "downsample_bn", "gap_bn", "last_bn"))
-            or p.endswith("_bn") for p in path[:-1]))
-
-
 def param_labels(params) -> dict:
-    """'frozen' for FrozenBatchNorm buffers, 'nowd' for GCT beta when
-    MODEL_GCT_BETA_WD is off, else 'train'."""
+    """'frozen' for FrozenBatchNorm leaves, 'train' for everything else.
+
+    FrozenBatchNorm modules are identified *structurally*: they are the
+    only modules carrying ``running_mean``/``running_var`` params
+    (``models/resnet.py::FrozenBatchNorm``) — every leaf sharing that
+    module subtree (weight/bias/stats) is frozen.  Name-prefix matching
+    is NOT safe here: trainable GroupNorm layers reuse the reference's
+    ``bn*`` module names (semantic embedding, GCT bottlenecks,
+    DynamicPreHead, decoder) and must stay in the 'train' group — the
+    reference trains GroupNorm affine params
+    (``train_manager_mm.py:61-72``)."""
     import jax
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def label_of(path):
+    frozen_modules = set()
+    for path, _ in flat:
         keys = tuple(getattr(k, "key", str(k)) for k in path)
-        if _is_frozen_bn(keys):
-            return "frozen"
-        return "train"
+        if keys and keys[-1] in ("running_mean", "running_var"):
+            frozen_modules.add(keys[:-1])
 
-    labels = jax.tree_util.tree_map_with_path(
-        lambda p, _: label_of(tuple(getattr(k, "key", str(k)) for k in p)),
-        params)
-    return labels
+    def label_of(path, _):
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        return "frozen" if keys[:-1] in frozen_modules else "train"
+
+    return jax.tree_util.tree_map_with_path(label_of, params)
 
 
 def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:

@@ -41,10 +41,14 @@ def hard_mining_ce(
     # top-k mean via a stop-gradient threshold: differentiating through
     # jnp.sort emits a 216k-element scatter in the backward pass, which
     # XLA:TPU serializes into a per-element loop (~40s/step observed).
-    flat_sg = jax.lax.stop_gradient(flat)
+    # Ignored pixels are pushed below any real loss (CE >= 0) so they can
+    # never be selected when k exceeds the hard-pixel count — otherwise
+    # ties at zero dilute the mined mean vs the reference's exact top-k.
+    valid = (~ignore).reshape(-1)
+    flat_sg = jnp.where(valid, jax.lax.stop_gradient(flat), -1.0)
     sorted_desc = jnp.sort(flat_sg)[::-1]
     kth = jnp.take(sorted_desc, (k - 1.0).astype(jnp.int32))
-    sel = (flat_sg >= kth).astype(flat.dtype)
+    sel = ((flat_sg >= kth) & valid).astype(flat.dtype)
     count = jnp.maximum(jnp.sum(sel), 1.0)
     return jnp.sum(flat * sel) / count
 
@@ -70,9 +74,15 @@ def hard_mining_bce(
         ratio = jnp.minimum(1.0, step.astype(jnp.float32) / hard_mining_step)
         k = jnp.floor((ratio * top_k_percent + (1.0 - ratio)) * n)
     k = jnp.maximum(k, 1.0)
-    sorted_desc = jnp.sort(flat)[::-1]
-    mask = (jnp.arange(n, dtype=jnp.float32) < k).astype(flat.dtype)
-    return jnp.sum(sorted_desc * mask) / k
+    # same stop-gradient-threshold selection as the CE path: sorting the
+    # differentiated losses would reintroduce the serialized
+    # sort-backward scatter on XLA:TPU (~40s/step)
+    flat_sg = jax.lax.stop_gradient(flat)
+    sorted_desc = jnp.sort(flat_sg)[::-1]
+    kth = jnp.take(sorted_desc, (k - 1.0).astype(jnp.int32))
+    sel = (flat_sg >= kth).astype(flat.dtype)
+    count = jnp.maximum(jnp.sum(sel), 1.0)
+    return jnp.sum(flat * sel) / count
 
 
 def batched_iou(pred: jnp.ndarray, target: jnp.ndarray, obj_num: jnp.ndarray,

@@ -1,8 +1,10 @@
 """ctypes bindings for the native preprocessing library.
 
-Builds ``libpreproc.so`` from ``preproc.cpp`` on first use (g++ -O3);
-every entry point has a numpy fallback so the framework runs without a
-toolchain.  See ``preproc.cpp`` for the op inventory.
+Builds ``libpreproc.so`` from ``preproc.cpp`` on first use (g++ -O3,
+portable codegen — the binary is never committed, so every host runs
+object code built for its own toolchain); every entry point has a numpy
+fallback so the framework runs without a toolchain.  See
+``preproc.cpp`` for the op inventory.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ _tried = False
 
 def _build() -> bool:
     src = os.path.join(_HERE, "preproc.cpp")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, src]
+    cmd = ["g++", "-O3", "-mtune=generic", "-shared", "-fPIC", "-o", _SO, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True

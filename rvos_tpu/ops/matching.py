@@ -81,14 +81,18 @@ def compact_reference_bank(r_emb: jnp.ndarray, r_lab: jnp.ndarray,
     r = r_emb.shape[0]
     if max_pixels >= r:
         return r_emb, r_lab
-    fg = (jnp.sum(r_lab, axis=-1) > 0.9).astype(jnp.float32)         # [R]
-    # Knuth-hash ordering for uniform overflow subsampling
+    valid = (jnp.sum(r_lab, axis=-1) > 0.9).astype(jnp.float32)      # [R]
+    # object (non-background) pixels outrank background so overflow
+    # subsampling can never starve small objects — the reference chunks
+    # and never drops pixels, so dropping must hit background first
+    obj = (jnp.sum(r_lab[..., 1:], axis=-1) > 0.9).astype(jnp.float32)
+    # Knuth-hash ordering for uniform subsampling within each tier
     idx = jnp.arange(r, dtype=jnp.uint32)
     tie = (idx * jnp.uint32(2654435761) % jnp.uint32(0x7FFFFFFF)
            ).astype(jnp.float32) / jnp.float32(0x7FFFFFFF)
-    score = fg * 2.0 + tie
+    score = valid * 2.0 + obj * 2.0 + tie
     _, top = jax.lax.top_k(score, max_pixels)
-    return r_emb[top], r_lab[top] * fg[top][:, None]
+    return r_emb[top], r_lab[top] * valid[top][:, None]
 
 
 def global_matching_flat(
