@@ -10,15 +10,22 @@ from .base import Config
 
 
 def resnet101_aocnet() -> Config:
-    return Config(EXP_NAME="aoc_stage_1")
+    # stage 1 warm-starts from a full CFBI VOS checkpoint when one is
+    # provided (reference configs/resnet101_aocnet.py:57-59; the path is
+    # machine-specific there, so it is supplied via --pretrained_path)
+    return Config(EXP_NAME="aoc_stage_1", PRETRAIN=True, PRETRAIN_FULL=True)
 
 
 def resnet101_aocnet_2() -> Config:
+    # PRETRAIN_FULL=False: a torch PRETRAIN_MODEL is interpreted as
+    # backbone-only (resnet101-deeplabv3p, ref _2.py:56-58); an orbax
+    # path (stage-1 chaining, scripts/train.sh) restores the full model
     return Config(
         EXP_NAME="aoc_stage_2",
         TRAIN_TOTAL_STEPS=400_000,
         TRAIN_START_SEQ_TRAINING_STEPS=200_000,
         TRAIN_HARD_MINING_STEP=200_000,
+        PRETRAIN=True,
         PRETRAIN_FULL=False,
         TEST_DATASET_FULL_RESOLUTION=False,
     )

@@ -104,6 +104,77 @@ def _unflatten(flat):
     return out
 
 
+def load_torch_statedict(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference ``.pth``/``.pth.tar`` file into numpy arrays.
+
+    Accepts both raw state_dicts and the reference's
+    ``{'state_dict', 'optimizer'}`` wrapper (``utils/checkpoint.py:105``).
+    """
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu")
+    if isinstance(obj, dict) and isinstance(obj.get("state_dict"), dict):
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().cpu().numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _restore_orbax_params(path: str) -> Dict[str, np.ndarray]:
+    """Read the params subtree out of an orbax checkpoint: either a
+    ``save_step_<N>.orbax`` dir or a ckpt dir containing several (newest
+    wins)."""
+    import orbax.checkpoint as ocp
+
+    if os.path.isdir(path) and not path.endswith(".orbax"):
+        steps = list_checkpoint_steps(path)
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints in {path}")
+        path = _ckpt_path(path, steps[-1])
+    tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    params = tree["params"] if isinstance(tree, dict) and "params" in tree \
+        else tree
+    return _flatten(params)
+
+
+def load_pretrained(params: Dict, path: str, full: bool = True
+                    ) -> Tuple[Dict, list, int]:
+    """Warm-start ``params`` from a pretrained checkpoint — the
+    ``process_pretrained_model`` equivalent
+    (``train_manager_mm.py:114-124``).
+
+    * torch ``.pth``/``.pth.tar`` → ``convert_torch_statedict`` then
+      shape-checked partial merge;
+    * orbax dir (this framework's own checkpoints, e.g. stage 1 →
+      stage 2 chaining) → params subtree, partial merge.
+
+    ``full=False`` (reference ``PRETRAIN_FULL=False``) targets the
+    backbone only: keys are interpreted relative to the feature
+    extractor (the reference loads into ``self.feature_extracter``).
+    Returns (merged params, removed keys, number of loaded keys).
+    """
+    if os.path.isdir(path) or path.endswith(".orbax"):
+        # this framework's own checkpoints are always full TrainStates
+        # (stage chaining); PRETRAIN_FULL only disambiguates torch files
+        loaded = _restore_orbax_params(path)
+    else:
+        loaded = convert_torch_statedict(load_torch_statedict(path))
+        if not full:
+            loaded = {
+                k if k.startswith("feature_extracter/")
+                else f"feature_extracter/{k}": v
+                for k, v in loaded.items()}
+    merged, removed = partial_restore(params, loaded)
+    return merged, removed, len(loaded)
+
+
 # ---------------------------------------------------------------------------
 # torch .pth → flax params conversion
 # ---------------------------------------------------------------------------

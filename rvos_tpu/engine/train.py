@@ -226,10 +226,30 @@ class Trainer:
                                 jnp.asarray(cfg.TRAIN_START_STEP))
         self._step_fn = None
         self.lr_fn = lr_schedule(cfg)
-        if cfg.TRAIN_AUTO_RESUME:
-            self._auto_resume()
+        self._process_pretrained_model()
 
-    def _auto_resume(self):
+    def _process_pretrained_model(self):
+        """Auto-resume, else pretrained warm-start — the reference's
+        ``process_pretrained_model`` (``train_manager_mm.py:81-124``):
+        resume from the newest own checkpoint if one exists; otherwise,
+        when ``PRETRAIN`` is set, partial-restore ``PRETRAIN_MODEL``
+        (full model when ``PRETRAIN_FULL``, backbone-only otherwise)."""
+        cfg = self.cfg
+        if cfg.TRAIN_AUTO_RESUME and self._auto_resume():
+            return
+        if cfg.PRETRAIN and cfg.PRETRAIN_MODEL:
+            from .checkpoint import load_pretrained
+            params, removed, n_loaded = load_pretrained(
+                self.state.params, cfg.PRETRAIN_MODEL,
+                full=cfg.PRETRAIN_FULL)
+            self.state = self.state._replace(params=params)
+            kind = "VOS model" if cfg.PRETRAIN_FULL else "backbone model"
+            print(f"Load pretrained {kind} from {cfg.PRETRAIN_MODEL} "
+                  f"({n_loaded - len(removed)}/{n_loaded} keys merged).")
+            if removed:
+                print(f"Remove {removed} from pretrained model.")
+
+    def _auto_resume(self) -> bool:
         """Resume from the newest checkpoint in the result dir
         (reference ``train_manager_mm.py:87-96``)."""
         from .checkpoint import list_checkpoint_steps, restore_checkpoint
@@ -238,6 +258,8 @@ class Trainer:
         if steps:
             self.state, step = restore_checkpoint(ckpt_dir, None, self.state)
             print(f"Auto-resumed from step {step} ({ckpt_dir})")
+            return True
+        return False
 
     def _build_step(self):
         if self._step_fn is not None:
@@ -278,7 +300,7 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 metrics = self.train_step(batch, sub)
                 step = int(self.state.step)
-                if step % log_every == 0:
+                if step % log_every == 0 or step == 1 or step >= total:
                     loss = float(metrics["loss"])
                     iou = float(metrics["iou"])
                     lr = float(self.lr_fn(step))

