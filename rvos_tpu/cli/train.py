@@ -66,6 +66,9 @@ def apply_args(cfg, args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..configs import get_config
     from ..data.datasets import DAVISTrain, SyntheticTrain, YTBVOSTrain
     from ..data.loader import TrainBatcher

@@ -135,6 +135,8 @@ class Config:
     USE_PALLAS: bool = True                # fused Pallas kernels on TPU backends
     USE_PALLAS_LOCAL: bool = False         # local-matching kernel (XLA scan is on par)
     EVAL_COMPUTE_DTYPE: str = "bfloat16"   # eval-time model compute ("float32" for parity)
+    TEST_FUSED_POSTPROCESS: bool = True    # on-device argmax/entropy fast path (False: host path)
+    MESH_MODEL_AXIS: int = 1               # context-parallel matching shards (query rows)
     MESH_DATA_AXIS: int = 8                # data-parallel mesh size for training
     CHECKPOINT_DIR: str = ""
 

@@ -253,15 +253,23 @@ class VOSTestSeq:
 
     def __init__(self, image_root, label_root, seq_name, images, labels,
                  rgb=True, single_obj=False,
-                 frame_transform: Optional[Callable] = None):
+                 frame_transform: Optional[Callable] = None,
+                 all_labels: bool = False):
         self.image_root = image_root
         self.label_root = label_root
         self.seq_name = seq_name
         self.images = images          # list of image filenames
-        self.labels = labels          # list of label filenames (subset)
+        self.labels = labels          # list of label filenames (subset):
+        #   frames where objects are (first) annotated — the evaluator
+        #   treats these as join/splice frames (eval_manager_mm.py:289)
         self.rgb = rgb
         self.single_obj = single_obj
         self.frame_transform = frame_transform
+        # all_labels: additionally emit every frame's GT as
+        # ``current_label_all`` (the reference ``VOS_Test_all`` /
+        # ``DAVIS_Test_w_label`` variant, datasets_m.py:495-620) — used
+        # ONLY for channel masking, never spliced into predictions
+        self.all_labels = all_labels
         label_set = set(labels)
         # incremental obj_num per frame (ref :382-414)
         self.obj_nums = []
@@ -300,12 +308,19 @@ class VOSTestSeq:
                      "current_name": img_name, "height": h, "width": w},
         }
         lab_name = os.path.splitext(img_name)[0] + ".png"
+        lab_path = os.path.join(self.label_root, self.seq_name, lab_name)
         if lab_name in self.labels:
-            lab = _read_label(os.path.join(self.label_root, self.seq_name,
-                                           lab_name))
+            lab = _read_label(lab_path)
             if self.single_obj:
                 lab = (lab > 0).astype(np.uint8)
             sample["current_label"] = lab
+            if self.all_labels:
+                sample["current_label_all"] = lab
+        elif self.all_labels and os.path.exists(lab_path):
+            lab = _read_label(lab_path)
+            if self.single_obj:
+                lab = (lab > 0).astype(np.uint8)
+            sample["current_label_all"] = lab
         return sample
 
 
@@ -338,13 +353,13 @@ class DAVISTest:
     def __getitem__(self, idx):
         seq = self.seqs[idx]
         images = sorted(os.listdir(os.path.join(self.image_root, seq)))
-        if self.all_labels:
-            labels = sorted(os.listdir(os.path.join(self.label_root, seq)))
-        else:
-            labels = [os.path.splitext(images[0])[0] + ".png"]
+        # join frames stay first-frame-only even in label-aware mode —
+        # per-frame GT is surfaced via ``current_label_all`` for channel
+        # masking, never spliced (eval_manager_mm.py:253-266 vs :321-326)
+        labels = [os.path.splitext(images[0])[0] + ".png"]
         return VOSTestSeq(self.image_root, self.label_root, seq, images,
                           labels, self.rgb, self.single_obj,
-                          self.frame_transform)
+                          self.frame_transform, all_labels=self.all_labels)
 
 
 class YTBVOSTest:

@@ -111,29 +111,34 @@ def balanced_random_crop(sample: Dict, size: Tuple[int, int],
                          max_obj_num: int = 5,
                          min_obj_pixel_num: int = 100) -> Dict:
     """Object-preserving random crop with contiguous relabeling
-    (ref BalancedRandomCrop :59-167)."""
+    (ref ``BalancedRandomCrop``, ``custom_transforms.py:59-167``).
+
+    The crop is retried until the *reference*-frame crop keeps at least
+    one object with > ``min_obj_pixel_num`` pixels; every frame is then
+    relabeled to the surviving object set with contiguous ids (objects
+    outside it become background).  Prev/curr-frame object consistency
+    is enforced one level up, by the dataset's resample-retry loop
+    (``datasets_m.py:152-182``), exactly like the reference.  When more
+    than ``max_obj_num`` objects survive, a random subset is kept
+    (ref :122-124 shuffles before truncating).
+    """
     ref_label = sample["ref_label"]
     h, w = ref_label.shape[:2]
     nh, nw = min(size[0], h), min(size[1], w)
 
-    labels = [sample["ref_label"], sample["prev_label"]] + sample["curr_label"]
-    chosen = None
+    top, left, objs = 0, 0, []
     for _ in range(max_step):
-        top = rng.integers(0, h - nh + 1)
-        left = rng.integers(0, w - nw + 1)
+        top = int(rng.integers(0, h - nh + 1))
+        left = int(rng.integers(0, w - nw + 1))
         ref_crop = ref_label[top:top + nh, left:left + nw]
         objs = np.unique(ref_crop)
         objs = objs[objs != 0]
         objs = [o for o in objs
                 if (ref_crop == o).sum() > min_obj_pixel_num]
         if objs:
-            chosen = (top, left, objs[:max_obj_num])
+            if len(objs) > max_obj_num:
+                objs = list(rng.permutation(np.asarray(objs))[:max_obj_num])
             break
-    if chosen is None:
-        top, left = 0, 0
-        objs = []
-    else:
-        top, left, objs = chosen
 
     remap = np.zeros(256, np.uint8)
     for new_id, old_id in enumerate(objs, start=1):

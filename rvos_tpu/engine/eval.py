@@ -95,8 +95,12 @@ class Evaluator:
         self.result_root = result_root
         self.mem_every = cfg.MEM_EVERY
         self.unc_ratio = cfg.UNC_RATIO
+        # fused on-device postprocess for the single-variant path; the
+        # generic host path is kept reachable for debugging/parity tests
+        self.use_fused = getattr(cfg, "TEST_FUSED_POSTPROCESS", True)
         self._embed_jit = {}
         self._step_jit = {}
+        self._last_states: List[_AugState] = []   # test introspection
 
     # -- jitted device functions ------------------------------------------
     def _embed(self, img):
@@ -219,7 +223,14 @@ class Evaluator:
             t_start = time.time()
             meta = sample["meta"]
             ori_h, ori_w = meta["height"], meta["width"]
+            # two distinct GT roles (eval_manager_mm.py:253-266 vs
+            # :289,:321-326): ``current_label`` marks frames where objects
+            # are (first) annotated — spliced into the prediction
+            # (join_label, YTB mid-video objects); ``current_label_all``
+            # (label-aware variant) is GT known every frame — used ONLY
+            # to zero never-seen channels, never spliced.
             current_label_full = sample.get("current_label")
+            current_label_all = sample.get("current_label_all")
             variants = eval_variants(
                 sample["current_img"], cfg.TEST_MAX_SIZE, cfg.TEST_MIN_SIZE,
                 cfg.TEST_FLIP, cfg.TEST_MULTISCALE)
@@ -227,10 +238,11 @@ class Evaluator:
             obj_valid = jnp.asarray(
                 (np.arange(o) <= obj_num).astype(np.float32))
 
-            if current_label_full is not None:
-                for lid in np.unique(current_label_full):
-                    if int(lid) not in label_all_list:
-                        label_all_list.append(int(lid))
+            for gt in (current_label_full, current_label_all):
+                if gt is not None:
+                    for lid in np.unique(gt):
+                        if int(lid) not in label_all_list:
+                            label_all_list.append(int(lid))
             exist_mask = np.zeros(o, np.float32)
             for lid in label_all_list:
                 if lid < o:
@@ -241,8 +253,8 @@ class Evaluator:
                 frame_idx > 0 and current_label_full is not None) else None
 
             # fused single-variant fast path: postprocess stays on device
-            if (frame_idx > 0 and len(variants) == 1 and join_label is None
-                    and not variants[0]["flip"]):
+            if (self.use_fused and frame_idx > 0 and len(variants) == 1
+                    and join_label is None and not variants[0]["flip"]):
                 st = states[0]
                 img = jnp.asarray(normalize(variants[0]["img"]))
                 frame_key = jax.random.fold_in(jax.random.PRNGKey(42),
@@ -356,6 +368,7 @@ class Evaluator:
         saver.shutdown(wait=True)
         results = {k: np.asarray(v) for k, v in results.items()}
         seq_time += time.time() - t_drain
+        self._last_states = states
         fps = seq_frames / max(seq_time, 1e-6)
         return {"results": results, "fps": fps, "frames": seq_frames,
                 "time": seq_time}

@@ -102,3 +102,47 @@ def mean_jf(per_object: Dict[int, Dict[str, float]]) -> Dict[str, float]:
     j = float(np.mean(js)) if js else 0.0
     f = float(np.mean(fs)) if fs else 0.0
     return {"J": j, "F": f, "J&F": (j + f) / 2}
+
+
+def evaluate_dataset_jf(result_root: str, label_root: str,
+                        seqs: Sequence[str] | None = None) -> Dict:
+    """End-to-end J&F over saved result PNGs vs GT annotations.
+
+    ``result_root/<seq>/<frame>.png`` is compared against
+    ``label_root/<seq>/<frame>.png`` for every frame with GT (the
+    external DAVIS-toolkit workflow the reference relies on,
+    ``README.md:110``, made self-contained).  Per-object scores are
+    averaged DAVIS-style: objects pooled across sequences.
+    """
+    import os
+
+    from PIL import Image
+
+    if seqs is None:
+        seqs = sorted(
+            s for s in os.listdir(result_root)
+            if os.path.isdir(os.path.join(result_root, s)))
+    per_seq: Dict[str, Dict[str, float]] = {}
+    all_j, all_f = [], []
+    for seq in seqs:
+        rdir = os.path.join(result_root, seq)
+        gdir = os.path.join(label_root, seq)
+        if not (os.path.isdir(rdir) and os.path.isdir(gdir)):
+            continue
+        preds, gts = [], []
+        for fname in sorted(os.listdir(rdir)):
+            gpath = os.path.join(gdir, fname)
+            if not fname.endswith(".png") or not os.path.exists(gpath):
+                continue
+            preds.append(np.array(Image.open(os.path.join(rdir, fname))))
+            gts.append(np.array(Image.open(gpath)))
+        if not preds:
+            continue
+        ids = sorted({int(i) for g in gts for i in np.unique(g)} - {0, 255})
+        per_object = evaluate_sequence(preds, gts, ids)
+        per_seq[seq] = mean_jf(per_object)
+        all_j.extend(v["J"] for v in per_object.values())
+        all_f.extend(v["F"] for v in per_object.values())
+    j = float(np.mean(all_j)) if all_j else 0.0
+    f = float(np.mean(all_f)) if all_f else 0.0
+    return {"per_seq": per_seq, "J": j, "F": f, "J&F": (j + f) / 2}

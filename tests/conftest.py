@@ -18,6 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: repeated test runs skip recompilation
+from rvos_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -133,3 +133,54 @@ def test_davis_metrics_sanity():
     assert worse[1]["J"] < 0.5
     jf = mean_jf(perfect)
     assert jf["J&F"] == 1.0
+
+
+def test_balanced_random_crop_keeps_curr_object(rng):
+    """A curr-frame object that survives in the ref crop must be kept
+    and relabeled consistently across ref/prev/curr (VERDICT r1 item 6).
+    The crop criterion is the ref crop (custom_transforms.py:103-116);
+    prev/curr consistency comes from the dataset retry loop."""
+    h, w = 100, 100
+    ref = np.zeros((h, w), np.uint8)
+    ref[20:70, 20:70] = 5                 # big object, id 5
+    curr = np.zeros((h, w), np.uint8)
+    curr[30:80, 25:75] = 5                # same object, moved
+    sample = {
+        "ref_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "prev_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "curr_img": [rng.uniform(0, 255, (h, w, 3)).astype(np.float32)],
+        "ref_label": ref, "prev_label": ref.copy(), "curr_label": [curr],
+        "meta": {"obj_num": 5},
+    }
+    out = balanced_random_crop(sample, (90, 90), np.random.default_rng(1))
+    assert out["meta"]["obj_num"] == 1
+    # object kept in EVERY frame under its remapped contiguous id
+    assert (out["ref_label"] == 1).sum() > 100
+    assert (out["curr_label"][0] == 1).sum() > 100
+    assert set(np.unique(out["curr_label"][0])) <= {0, 1}
+
+
+def test_balanced_random_crop_truncates_to_random_subset(rng):
+    """> max_obj_num surviving objects → a random subset of exactly
+    max_obj_num, contiguously relabeled (ref shuffle-truncate :122-124)."""
+    h, w = 60, 240
+    lab = np.zeros((h, w), np.uint8)
+    for i in range(6):                    # six 40x30 objects side by side
+        lab[10:50, i * 40 + 5: i * 40 + 35] = i + 1
+    sample = {
+        "ref_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "prev_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "curr_img": [rng.uniform(0, 255, (h, w, 3)).astype(np.float32)],
+        "ref_label": lab, "prev_label": lab.copy(), "curr_label": [lab.copy()],
+        "meta": {"obj_num": 6},
+    }
+    picks = set()
+    for seed in range(6):
+        out = balanced_random_crop(sample, (60, 240),
+                                   np.random.default_rng(seed),
+                                   max_obj_num=3)
+        ids = set(np.unique(out["ref_label"])) - {0}
+        assert out["meta"]["obj_num"] == 3
+        assert ids == {1, 2, 3}           # contiguous after remap
+        picks.add(out["ref_label"][30, 20])   # which original obj landed first
+    assert len(picks) > 1                 # the subset really is random
