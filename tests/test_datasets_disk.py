@@ -107,7 +107,15 @@ def test_ytb_train_and_eval(ytb_root, tmp_path):
 
 
 def test_davis_label_aware_variant(davis_root):
-    """DAVIS_Test_w_label / VOS_Test_all equivalent: GT every frame."""
+    """DAVIS_Test_w_label / VOS_Test_all equivalent: GT surfaced every
+    frame as ``current_label_all`` (channel masking only, never spliced
+    — eval_manager_mm.py:253-266); ``current_label`` stays reserved for
+    frame 0 / mid-video first annotations (the join_label splice)."""
     seq = DAVISTest(davis_root, split=("val",), all_labels=True)[0]
     for i in range(len(seq)):
-        assert "current_label" in seq[i]
+        s = seq[i]
+        assert "current_label_all" in s
+        if i == 0:
+            assert "current_label" in s       # initial annotation
+        else:
+            assert "current_label" not in s   # DAVIS: no mid-video joins
