@@ -333,12 +333,21 @@ class DAVISTest:
     """
 
     def __init__(self, root, split=("val",), year=2017, full_resolution=False,
-                 rgb=True, frame_transform=None, all_labels=False):
+                 rgb=True, frame_transform=None, all_labels=False,
+                 image_type: int = 0, perturb_seed: int = 0):
         resolution = "Full-Resolution" if full_resolution else "480p"
         self.image_root = os.path.join(root, "JPEGImages", resolution)
         self.label_root = os.path.join(root, "Annotations", resolution)
         self.single_obj = year == 2016
         self.rgb = rgb
+        if image_type and frame_transform is None:
+            # AOT-side loader interface parity: the Robust-VOS-Benchmark
+            # AOT dataloader dispatches a perturbation per image_type
+            # inside the dataset (AOT/eval_datasets.py:133-165); here it
+            # resolves to the shared frame_transform hook.
+            from .perturb import get_perturbation
+            frame_transform = get_perturbation(
+                image_type, np.random.default_rng(perturb_seed))
         self.frame_transform = frame_transform
         self.all_labels = all_labels
         self.seqs = []
@@ -367,7 +376,12 @@ class YTBVOSTest:
     meta_all.json / the all-frames image dir for 30-fps eval."""
 
     def __init__(self, root, rgb=True, use_all=False, frame_transform=None,
-                 result_root=None):
+                 result_root=None, image_type: int = 0, perturb_seed: int = 0):
+        if image_type and frame_transform is None:
+            # AOT-side image_type dispatch (AOT/eval_datasets.py:133-165)
+            from .perturb import get_perturbation
+            frame_transform = get_perturbation(
+                image_type, np.random.default_rng(perturb_seed))
         self.image_root = os.path.join(root, "JPEGImages")
         self.label_root = os.path.join(root, "Annotations")
         meta_name = "meta_all.json" if use_all and os.path.exists(

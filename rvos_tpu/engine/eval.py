@@ -98,6 +98,8 @@ class Evaluator:
         # fused on-device postprocess for the single-variant path; the
         # generic host path is kept reachable for debugging/parity tests
         self.use_fused = getattr(cfg, "TEST_FUSED_POSTPROCESS", True)
+        from ..parallel.mesh import cp_mesh
+        self._cp_mesh = cp_mesh(cfg)   # context-parallel matching mesh
         self._embed_jit = {}
         self._step_jit = {}
         self._last_states: List[_AugState] = []   # test introspection
@@ -111,7 +113,9 @@ class Evaluator:
                 lambda v, x: self.model.apply(
                     v, x[None].astype(cdt), True,
                     method=AOCNet.extract_feature))
-        emb, low = self._embed_jit[key](self.variables, img)
+        from ..parallel.mesh import ambient_mesh_ctx
+        with ambient_mesh_ctx(self._cp_mesh):
+            emb, low = self._embed_jit[key](self.variables, img)
         return emb[0], low[0]
 
     def _step(self, img, state: _AugState, obj_valid, frame_key, ori_hw):
@@ -141,10 +145,12 @@ class Evaluator:
                 return probs, emb, new_mem.slots, new_mem.valid
 
             self._step_jit[key] = jax.jit(fn)
-        return self._step_jit[key](
-            self.variables, img, state.ref_emb, state.ref_lab,
-            state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
-            state.memory.slots, state.memory.valid, frame_key)
+        from ..parallel.mesh import ambient_mesh_ctx
+        with ambient_mesh_ctx(self._cp_mesh):
+            return self._step_jit[key](
+                self.variables, img, state.ref_emb, state.ref_lab,
+                state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
+                state.memory.slots, state.memory.valid, frame_key)
 
     def _step_fused(self, img, state: _AugState, obj_valid, exist_mask,
                     frame_key, ori_hw):
@@ -188,10 +194,12 @@ class Evaluator:
                         new_mem.slots, new_mem.valid)
 
             self._step_jit[key] = jax.jit(fn)
-        return self._step_jit[key](
-            self.variables, img, state.ref_emb, state.ref_lab,
-            state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
-            exist_mask, state.memory.slots, state.memory.valid, frame_key)
+        from ..parallel.mesh import ambient_mesh_ctx
+        with ambient_mesh_ctx(self._cp_mesh):
+            return self._step_jit[key](
+                self.variables, img, state.ref_emb, state.ref_lab,
+                state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
+                exist_mask, state.memory.slots, state.memory.valid, frame_key)
 
     # -- label helpers -----------------------------------------------------
     def _downscale_label(self, lab_full: np.ndarray, hw) -> np.ndarray:

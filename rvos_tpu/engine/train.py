@@ -214,8 +214,11 @@ class Trainer:
                  init_spatial: Tuple[int, int] = None):
         self.cfg = cfg
         if mesh is None:
-            n = min(cfg.MESH_DATA_AXIS, len(jax.devices()))
-            mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+            from ..parallel.mesh import cp_mesh
+            mesh = cp_mesh(cfg)          # (data, model) when CP enabled
+            if mesh is None:
+                n = min(cfg.MESH_DATA_AXIS, len(jax.devices()))
+                mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
         self.mesh = mesh
         spatial = init_spatial or cfg.DATA_RANDOMCROP
         self.model, variables = init_model(cfg, jax.random.PRNGKey(0), spatial)
@@ -283,7 +286,9 @@ class Trainer:
 
     def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict:
         fn = self._build_step()
-        self.state, metrics = fn(self.state, batch, rng)
+        from ..parallel.mesh import ambient_mesh_ctx
+        with ambient_mesh_ctx(self.mesh):
+            self.state, metrics = fn(self.state, batch, rng)
         return metrics
 
     def fit(self, batcher, log_every: int = 20, save_every: int = 0,

@@ -27,14 +27,14 @@ from ..ops import (
     cluster_matching,
     cluster_objects,
     foreground2background,
-    local_matching_bank,
+    local_matching_bank_stacked,
     proxy_matching,
     proxy_reconstructed_embedding,
 )
 from ..ops.matching import compact_reference_bank, global_matching_flat
 from .decoder import CalibrationDecoding, DecoderMemory
 from .deeplab import DeepLab
-from .layers import DynamicPreHead
+from .layers import GN, DynamicPreHead
 
 
 class SemanticEmbedding(nn.Module):
@@ -50,13 +50,12 @@ class SemanticEmbedding(nn.Module):
                     feature_group_count=self.aspp_dim,
                     kernel_init=nn.initializers.kaiming_normal(),
                     name="seperate_conv")(x)
-        x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5, name="bn1")(x)
+        x = GN(num_groups=self.gn_groups, epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.embedding_dim, (1, 1),
                     kernel_init=nn.initializers.kaiming_normal(),
                     name="embedding_conv")(x)
-        x = nn.GroupNorm(num_groups=self.gn_emb_groups, epsilon=1e-5,
-                         name="bn2")(x)
+        x = GN(num_groups=self.gn_emb_groups, epsilon=1e-5, name="bn2")(x)
         return nn.relu(x)
 
 
@@ -131,6 +130,10 @@ class AOCNet(nn.Module):
         use_pallas = (c.USE_PALLAS and not train
                       and jax.default_backend() == "tpu")
         use_pallas_local = use_pallas and c.USE_PALLAS_LOCAL
+        # context-parallel matching: shard query-pixel rows over the
+        # mesh "model" axis (GSPMD constraint inside the matching ops);
+        # requires the engine to set the ambient mesh (jax.set_mesh)
+        cp_axis = "model" if c.MESH_MODEL_AXIS > 1 else None
 
         # masked slots/objects never contribute
         ref_onehot = ref_onehot * obj_valid[None, None, None, :]
@@ -154,7 +157,8 @@ class AOCNet(nn.Module):
         # 1. global pixel matching (aocnet.py:161-205)
         global_fg = global_matching_flat(
             current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
-            bias, dtype=dtype, use_pallas=use_pallas, mixed=mixed)
+            bias, dtype=dtype, use_pallas=use_pallas, mixed=mixed,
+            cp_axis=cp_axis)
 
         # 2. AOP cluster matching (aocnet.py:207-251).  The reference
         # clusters DETACHED embeddings (matching.py:289 .detach().cpu())
@@ -164,27 +168,29 @@ class AOCNet(nn.Module):
                                 jax.lax.stop_gradient(flat_lab), kmeans_key,
                                 k=c.MODEL_CLUSTER_NUM,
                                 iters=c.MODEL_KMEANS_ITERS, mixed=mixed)
-        global_cluster = cluster_matching(current_emb, banks, bias, dtype=dtype)
+        global_cluster = cluster_matching(current_emb, banks, bias,
+                                          dtype=dtype, cp_axis=cp_axis)
 
-        # 3. local matching (aocnet.py:253-264)
-        local_fg = local_matching_bank(
-            current_emb, prev_emb, prev_onehot, bias,
-            c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
-            allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype,
-            use_pallas=use_pallas_local)
-
-        # 4. instance proxies + proxy matching (aocnet.py:270-337)
+        # 3+4. instance proxies (aocnet.py:270-337), then BOTH local
+        # matchings (pixel prev, aocnet.py:253-264, and the proxy-
+        # reconstructed prev, :330-337) fused into one scan — they share
+        # the query and the label map, so stacking halves the number of
+        # sequential window-row steps (the eval profile's two `while`
+        # loops at ~2.9 ms each).
         heads = attention_heads(ref_emb_bank, ref_onehot, slot_valid,
                                 prev_emb, prev_onehot, c.MODEL_EPSILON)
         global_proxy = proxy_matching(current_emb, heads.ref_pos, bias,
-                                      dtype=dtype)
+                                      dtype=dtype, cp_axis=cp_axis)
         prev_emb_inst = proxy_reconstructed_embedding(prev_onehot,
                                                       heads.prev_pos)
-        local_proxy = local_matching_bank(
-            current_emb, prev_emb_inst.astype(op_dtype), prev_onehot, bias,
+        local_pair = local_matching_bank_stacked(
+            current_emb,
+            jnp.stack([prev_emb, prev_emb_inst.astype(prev_emb.dtype)]),
+            prev_onehot, bias,
             c.MODEL_MULTI_LOCAL_DISTANCE, atrous_rate=l_atrous,
             allow_downsample=c.MODEL_LOCAL_DOWNSAMPLE, dtype=op_dtype,
             use_pallas=use_pallas_local)
+        local_fg, local_proxy = local_pair[0], local_pair[1]
 
         # 5. concat in reference channel order (aocnet.py:349-358)
         parts = [global_fg, global_cluster, global_proxy, local_fg,
@@ -240,6 +246,16 @@ class AOCNet(nn.Module):
 
 def init_model(cfg: Config, rng: jax.Array, spatial: Tuple[int, int] = (65, 65)):
     """Initialize a complete AOCNet variable tree (all submodules)."""
+    if cfg.MESH_MODEL_AXIS > 1:
+        # full_forward traces the context-parallel sharding constraints,
+        # which need the ambient mesh set during init as well
+        from ..parallel.mesh import ambient_mesh_ctx, cp_mesh
+        with ambient_mesh_ctx(cp_mesh(cfg)):
+            return _init_model_inner(cfg, rng, spatial)
+    return _init_model_inner(cfg, rng, spatial)
+
+
+def _init_model_inner(cfg: Config, rng: jax.Array, spatial: Tuple[int, int]):
     model = AOCNet(cfg)
     h, w = spatial
     imgs = jnp.zeros((3, h, w, 3), jnp.float32)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .deeplab import _batched_resize
-from .layers import GCT, ConditioningBlock, GNASPP, GNBottleneck, IAGate
+from .layers import GCT, GN, ConditioningBlock, GNASPP, GNBottleneck, IAGate
 
 
 class DecoderMemory(NamedTuple):
@@ -126,8 +126,8 @@ class CalibrationDecoding(nn.Module):
         ll = nn.Conv(self.refine_dim, (1, 1), use_bias=False,
                      kernel_init=nn.initializers.kaiming_normal(),
                      name="conv_sc")(ll)
-        ll = nn.GroupNorm(num_groups=self.refine_dim // 4, epsilon=1e-5,
-                          name="bn_sc")(ll)
+        ll = GN(num_groups=self.refine_dim // 4, epsilon=1e-5,
+                name="bn_sc")(ll)
         ll = nn.relu(ll)
         if ll.shape[0] == 1 and x.shape[0] != 1:
             ll = jnp.broadcast_to(ll, (x.shape[0],) + ll.shape[1:])
@@ -139,7 +139,7 @@ class CalibrationDecoding(nn.Module):
         x = nn.Conv(self.embed_dim // 2, (3, 3), padding=1, use_bias=False,
                     kernel_init=nn.initializers.kaiming_normal(),
                     name="conv1")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="bn1")(x)
+        x = GN(num_groups=32, epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
 
         delta = _inter_object_delta(x, obj_valid)
@@ -148,7 +148,7 @@ class CalibrationDecoding(nn.Module):
         x = nn.Conv(self.embed_dim // 2, (3, 3), padding=1, use_bias=False,
                     kernel_init=nn.initializers.kaiming_normal(),
                     name="conv2")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="bn2")(x)
+        x = GN(num_groups=32, epsilon=1e-5, name="bn2")(x)
         return nn.relu(x)
 
     def _ia_logit(self, x, head, name):

@@ -5,6 +5,7 @@ from .matching import (
     foreground2background,
     global_matching_bank,
     local_matching_bank,
+    local_matching_bank_stacked,
     local_pairwise_distances,
     proxy_matching,
     squash_distance,
@@ -22,6 +23,7 @@ __all__ = [
     "foreground2background",
     "global_matching_bank",
     "local_matching_bank",
+    "local_matching_bank_stacked",
     "local_pairwise_distances",
     "normalized_entropy",
     "proxy_matching",

@@ -116,6 +116,7 @@ def cluster_matching(
     dis_bias: jnp.ndarray,       # [O]
     *,
     dtype=jnp.float32,
+    cp_axis=None,
 ) -> jnp.ndarray:
     """Query↔proxy-bank min distances: returns [H, W, O, 2].
 
@@ -125,10 +126,11 @@ def cluster_matching(
     squashed ≈ 1, matching the reference's empty fallback
     (``matching.py:312-313``).
     """
-    from .matching import WRONG_LABEL_PADDING_DISTANCE, squash_distance
+    from .matching import (WRONG_LABEL_PADDING_DISTANCE, _cp_release,
+                           _cp_rows, squash_distance)
 
     h, w, c = query_emb.shape
-    q = query_emb.reshape(h * w, c).astype(dtype)
+    q = _cp_rows(query_emb.reshape(h * w, c).astype(dtype), cp_axis)
     q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)      # [M]
 
     def bank_min(bank, valid):
@@ -144,5 +146,6 @@ def cluster_matching(
 
     d1 = bank_min(banks.centroids, banks.cent_valid)
     d2 = bank_min(banks.means, banks.mean_valid)
-    d = jnp.stack([d1, d2], axis=-1).reshape(h, w, -1, 2)
+    d = _cp_release(jnp.stack([d1, d2], axis=-1), cp_axis)
+    d = d.reshape(h, w, -1, 2)
     return squash_distance(d, dis_bias)

@@ -49,6 +49,29 @@ from .resize import resize_hw
 WRONG_LABEL_PADDING_DISTANCE = 5e4
 
 
+def _cp_rows(x: jnp.ndarray, cp_axis) -> jnp.ndarray:
+    """Context-parallel hint: shard the leading (query-row) axis over a
+    named mesh axis.  Global/cluster/proxy matching are embarrassingly
+    parallel over query pixels, so a GSPMD sharding constraint is the
+    whole integration — XLA partitions the distance matmuls and the
+    online-min scan per device, no communication until the constraint
+    is released.  Requires an ambient mesh (``jax.set_mesh``) naming
+    ``cp_axis``; no-op when ``cp_axis`` is None."""
+    if cp_axis is None:
+        return x
+    spec = jax.sharding.PartitionSpec(cp_axis, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def _cp_release(x: jnp.ndarray, cp_axis) -> jnp.ndarray:
+    """Re-replicate after matching so the sharding does not propagate
+    into the (halo-dependent) local matching / decoder stages."""
+    if cp_axis is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.PartitionSpec(*([None] * x.ndim)))
+
+
 def squash_distance(d: jnp.ndarray, dis_bias: jnp.ndarray) -> jnp.ndarray:
     """(sigmoid(d + bias) - 0.5) * 2 — reference ``matching.py:2372``.
 
@@ -105,18 +128,25 @@ def global_matching_flat(
     dtype=jnp.float32,
     use_pallas: bool = False,
     mixed: bool = False,
+    cp_axis=None,
 ) -> jnp.ndarray:
-    """Per-object NN distance maps over a pre-flattened bank → [H,W,O,1]."""
+    """Per-object NN distance maps over a pre-flattened bank → [H,W,O,1].
+
+    ``cp_axis``: optional mesh-axis name — context-parallel query-row
+    sharding (``MESH_MODEL_AXIS``); the bank stays replicated and each
+    device matches its row tile (SURVEY.md §2.10)."""
     h, w, c = query_emb.shape
     o = r_lab.shape[-1]
     q = query_emb.reshape(h * w, c).astype(dtype)
-    if use_pallas:
+    q = _cp_rows(q, cp_axis)
+    if use_pallas and cp_axis is None:
         from .pallas_matching import global_matching_pallas
         d_min = global_matching_pallas(q, r_emb.astype(dtype),
                                        r_lab.astype(dtype), mixed=mixed)
     else:
         d_min = global_matching_min(q, r_emb.astype(dtype),
                                     r_lab.astype(dtype))
+    d_min = _cp_release(d_min, cp_axis)
     d_min = d_min.astype(jnp.float32).reshape(h, w, o)
     return squash_distance(d_min[..., None], dis_bias)
 
@@ -296,6 +326,7 @@ def proxy_matching(
     dis_bias: jnp.ndarray,    # [O]
     *,
     dtype=jnp.float32,
+    cp_axis=None,
 ) -> jnp.ndarray:
     """Distance of every query pixel to each object's single proxy.
 
@@ -304,13 +335,14 @@ def proxy_matching(
     distance, no masking.  Returns [H, W, O, 1].
     """
     h, w, c = query_emb.shape
-    q = query_emb.reshape(h * w, c).astype(dtype)
+    q = _cp_rows(query_emb.reshape(h * w, c).astype(dtype), cp_axis)
     p = proxies.astype(dtype)
     q2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
     p2 = jnp.sum(jnp.square(p.astype(jnp.float32)), axis=-1)
     cross = jnp.dot(q, p.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     d = q2[:, None] + p2[None, :] - 2.0 * cross                      # [M, O]
+    d = _cp_release(d, cp_axis)
     d = d.reshape(h, w, -1)[..., None]
     return squash_distance(d, dis_bias)
 
@@ -393,46 +425,66 @@ def _local_matching_online(x, y, labels, radii, a_max, k, atrous_rate, pad_d):
     cube of the reference's unfold formulation (matching.py:2812-2837)
     never exists.  Returns [h, w, O, n] with the reference channel
     order (full radius first, then radii[:-1])."""
-    h, w, c = x.shape
+    out = _local_matching_online_stacked(x, y[None], labels, radii, a_max,
+                                         k, atrous_rate, pad_d)
+    return out[0]
+
+
+def _local_matching_online_stacked(x, ys, labels, radii, a_max, k,
+                                   atrous_rate, pad_d):
+    """Stacked variant: ``ys`` is [S, h, w, C] — S previous-frame
+    embeddings matched against the same query/labels in ONE scan
+    (AOC-Net always needs the pixel AND proxy-reconstructed prev frame,
+    aocnet.py:253-264/330-337; running them as one scan halves the
+    sequential-loop count and doubles the per-step matmul width).
+    Returns [S, h, w, O, n]."""
+    s_n, h, w, c = ys.shape
     o = labels.shape[-1]
     n_r = len(radii)
     order = [radii[-1]] + list(radii[:-1])      # output channel order
 
     x2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
-    y2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=-1)
-    y_pad = jnp.pad(y, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
-    y2_pad = jnp.pad(y2, ((pad_d, pad_d), (pad_d, pad_d)),
+    y2 = jnp.sum(jnp.square(ys.astype(jnp.float32)), axis=-1)         # [S,h,w]
+    y_pad = jnp.pad(ys, ((0, 0), (pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+    y2_pad = jnp.pad(y2, ((0, 0), (pad_d, pad_d), (pad_d, pad_d)),
                      constant_values=WRONG_LABEL_PADDING_DISTANCE)
     lab_pad = jnp.pad(labels, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
 
     def row_body(carry, dy_idx):
         dy = dy_idx * atrous_rate
-        band = jax.lax.dynamic_slice(y_pad, (dy, 0, 0), (h, w + 2 * pad_d, c))
-        band2 = jax.lax.dynamic_slice(y2_pad, (dy, 0), (h, w + 2 * pad_d))
+        band = jax.lax.dynamic_slice(y_pad, (0, dy, 0, 0),
+                                     (s_n, h, w + 2 * pad_d, c))
+        band2 = jax.lax.dynamic_slice(y2_pad, (0, dy, 0),
+                                      (s_n, h, w + 2 * pad_d))
         lband = jax.lax.dynamic_slice(lab_pad, (dy, 0, 0),
                                       (h, w + 2 * pad_d, o))
-        cols = _col_shifts(band, k, atrous_rate, w)                   # [K,h,w,C]
-        cols2 = _col_shifts(band2[..., None], k, atrous_rate, w)[..., 0]
+        # column shifts along the (shared) w axis: [S,K,h,w,C]
+        cols = jnp.stack([jax.lax.slice_in_dim(band, i * atrous_rate,
+                                               i * atrous_rate + w, axis=2)
+                          for i in range(k)], axis=1)
+        cols2 = jnp.stack([jax.lax.slice_in_dim(band2, i * atrous_rate,
+                                                i * atrous_rate + w, axis=2)
+                           for i in range(k)], axis=1)                # [S,K,h,w]
         lcols = _col_shifts(lband, k, atrous_rate, w)                 # [K,h,w,O]
         # dot in the input dtype (bf16 at eval), f32 accumulation/norms
-        cross = jnp.einsum("khwc,hwc->khw", cols, x,
+        cross = jnp.einsum("skhwc,hwc->skhw", cols, x,
                            preferred_element_type=jnp.float32)
-        d_row = x2[None] + cols2.astype(jnp.float32) - 2.0 * cross    # [K,h,w]
-        dm = jnp.where(lcols > 0.9, d_row[..., None],
-                       jnp.float32(WRONG_LABEL_PADDING_DISTANCE))     # [K,h,w,O]
+        d_row = x2[None, None] + cols2.astype(jnp.float32) - 2.0 * cross
+        dm = jnp.where(lcols[None] > 0.9, d_row[..., None],
+                       jnp.float32(WRONG_LABEL_PADDING_DISTANCE))     # [S,K,h,w,O]
 
         dy_off = jnp.abs(dy_idx - a_max)
         new = []
         for i, r in enumerate(order):
-            sl = dm[a_max - r: a_max + r + 1]
-            cand = jnp.min(sl, axis=0)                                # [h,w,O]
+            sl = dm[:, a_max - r: a_max + r + 1]
+            cand = jnp.min(sl, axis=1)                                # [S,h,w,O]
             cand = jnp.where(dy_off <= r, cand, jnp.inf)
             new.append(jnp.minimum(carry[i], cand))
         return jnp.stack(new), None
 
-    init = jnp.full((n_r, h, w, o), jnp.inf, jnp.float32)
-    mins, _ = jax.lax.scan(row_body, init, jnp.arange(k))             # [n,h,w,O]
-    return jnp.transpose(mins, (1, 2, 3, 0))
+    init = jnp.full((n_r, s_n, h, w, o), jnp.inf, jnp.float32)
+    mins, _ = jax.lax.scan(row_body, init, jnp.arange(k))             # [n,S,h,w,O]
+    return jnp.transpose(mins, (1, 2, 3, 4, 0))
 
 
 def local_matching_bank(
@@ -452,16 +504,40 @@ def local_matching_bank(
     Channel order matches the reference (``matching.py:2823-2847``):
     the full-radius map first, then radii[:-1] in order.
     """
+    return local_matching_bank_stacked(
+        query_emb, prev_emb[None], prev_onehot, dis_bias,
+        multi_local_distance, atrous_rate=atrous_rate,
+        allow_downsample=allow_downsample, dtype=dtype,
+        use_pallas=use_pallas)[0]
+
+
+def local_matching_bank_stacked(
+    query_emb: jnp.ndarray,     # [H, W, C]
+    prev_embs: jnp.ndarray,     # [S, H, W, C]
+    prev_onehot: jnp.ndarray,   # [H, W, O]
+    dis_bias: jnp.ndarray,      # [O]
+    multi_local_distance: Sequence[int] = (2, 4, 6, 8, 10, 12),
+    *,
+    atrous_rate: int = 1,
+    allow_downsample: bool = True,
+    dtype=jnp.float32,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Local matching of one query against S previous-frame embeddings
+    sharing one label map, fused into a single scan → [S, H, W, O, n].
+
+    AOC-Net needs exactly two such matchings per frame (pixel prev +
+    proxy-reconstructed prev); fusing them halves the scan count.
+    """
     ori_h, ori_w, c = query_emb.shape
-    o = prev_onehot.shape[-1]
     max_distance = int(multi_local_distance[-1])
 
     x = query_emb.astype(dtype)
-    y = prev_emb.astype(dtype)
+    ys = prev_embs.astype(dtype)
     if allow_downsample:
         down_hw = (ori_h // 2 + 1, ori_w // 2 + 1)
         x = resize_hw(x, down_hw, "bilinear")
-        y = resize_hw(y, down_hw, "bilinear")
+        ys = jax.vmap(lambda y: resize_hw(y, down_hw, "bilinear"))(ys)
     h, w = x.shape[:2]
 
     labels = prev_onehot
@@ -474,13 +550,15 @@ def local_matching_bank(
 
     if use_pallas:
         from .pallas_local import local_matching_pallas
-        multi = local_matching_pallas(x, y, labels,
-                                      tuple(multi_local_distance),
-                                      atrous_rate)                    # [h, w, O, n]
+        multi = jnp.stack([
+            local_matching_pallas(x, ys[i], labels,
+                                  tuple(multi_local_distance), atrous_rate)
+            for i in range(ys.shape[0])])                  # [S, h, w, O, n]
     else:
-        multi = _local_matching_online(x, y, labels, radii, a_max, k,
-                                       atrous_rate, pad_d)            # [h, w, O, n]
+        multi = _local_matching_online_stacked(x, ys, labels, radii, a_max,
+                                               k, atrous_rate, pad_d)
     multi = squash_distance(multi.astype(jnp.float32), dis_bias)
     if (h, w) != (ori_h, ori_w):
-        multi = resize_hw(multi, (ori_h, ori_w), "bilinear")
+        multi = jax.vmap(lambda m: resize_hw(m, (ori_h, ori_w),
+                                             "bilinear"))(multi)
     return multi

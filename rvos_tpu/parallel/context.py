@@ -56,3 +56,57 @@ def global_matching_context_parallel(
 
     d_min = run(q, r_emb, r_lab)[:m].reshape(h, w, o)
     return squash_distance(d_min[..., None], dis_bias)
+
+
+def global_matching_bank_sharded(
+    query_emb: jnp.ndarray,    # [H, W, C]
+    r_emb: jnp.ndarray,        # [R, C] flat reference bank
+    r_lab: jnp.ndarray,        # [R, O]
+    dis_bias: jnp.ndarray,     # [O]
+    mesh: Mesh,
+    axis: str = "model",
+    tile_r: int = 4096,
+) -> jnp.ndarray:
+    """Bank-sharded global matching: each device holds a tile of the
+    reference bank (queries replicated), computes its local per-object
+    online min, and the global min is ONE ``pmin`` collective over ICI.
+
+    This is the "bank outgrows replication" mode the round-1 design
+    notes deferred: per-device bank memory is R/n, so the effective
+    bank capacity scales linearly with the mesh axis.  The running-min
+    reduction is associative, so shard-local mins + a min-allreduce is
+    numerically identical to the single-device scan — no ring
+    hand-scheduling needed (XLA lowers the allreduce to the optimal ICI
+    pattern).  Padding rows carry all-zero labels → the wrong-label
+    penalty keeps them out of every min.  Returns [H, W, O, 1].
+    """
+    h, w, c = query_emb.shape
+    o = r_lab.shape[-1]
+    n = mesh.shape[axis]
+    r = r_emb.shape[0]
+    pad_r = (-r) % n
+    if pad_r:
+        r_emb = jnp.pad(r_emb, ((0, pad_r), (0, 0)))
+        r_lab = jnp.pad(r_lab, ((0, pad_r), (0, 0)))
+    q = query_emb.reshape(h * w, c)
+
+    @jax.jit
+    def run(q, r_emb, r_lab):
+        def body(q_full, re_shard, rl_shard):
+            # q arrives replicated (unvarying over `axis`) while the
+            # bank tiles vary — mark q varying so the online-min scan's
+            # carry types agree inside the manual region
+            q_full = jax.lax.pvary(q_full, axis)
+            local = _global_matching_xla(q_full, re_shard, rl_shard,
+                                         min(tile_r, re_shard.shape[0]))
+            return jax.lax.pmin(local, axis)
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, None), P(axis, None), P(axis, None)),
+            out_specs=P(None, None),
+        )
+        return fn(q, r_emb, r_lab)
+
+    d_min = run(q, r_emb, r_lab).reshape(h, w, o)
+    return squash_distance(d_min[..., None], dis_bias)

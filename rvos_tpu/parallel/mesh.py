@@ -30,6 +30,34 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def cp_mesh(cfg, devices=None) -> Optional[Mesh]:
+    """(data, model) mesh for context-parallel matching, or None.
+
+    When ``cfg.MESH_MODEL_AXIS > 1`` the matching ops in
+    ``segment_frame`` carry GSPMD constraints sharding query-pixel rows
+    over the "model" axis; this builds the mesh the engines run under.
+    """
+    if getattr(cfg, "MESH_MODEL_AXIS", 1) <= 1:
+        return None
+    devices = devices if devices is not None else jax.devices()
+    model = cfg.MESH_MODEL_AXIS
+    if len(devices) < model:
+        return None
+    data = max(1, min(cfg.MESH_DATA_AXIS, len(devices) // model))
+    return make_mesh(data=data, model=model, devices=devices)
+
+
+def ambient_mesh_ctx(mesh: Optional[Mesh]):
+    """Context manager making ``mesh`` ambient (``jax.set_mesh``) so the
+    bare ``PartitionSpec("model")`` constraints inside the matching ops
+    resolve; a no-op for data-only meshes."""
+    import contextlib
+    if (mesh is None or "model" not in mesh.axis_names
+            or mesh.shape["model"] == 1):
+        return contextlib.nullcontext()
+    return jax.set_mesh(mesh)
+
+
 def data_sharding(mesh: Mesh, leading_batch: bool = True) -> NamedSharding:
     spec = P("data") if leading_batch else P(None, "data")
     return NamedSharding(mesh, spec)

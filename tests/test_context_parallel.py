@@ -24,3 +24,54 @@ def test_context_parallel_matches_single_device(rng):
     got = np.asarray(global_matching_context_parallel(q, re, lab, bias, mesh))
     want = np.asarray(global_matching_flat(q, re, lab, bias))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bank_sharded_matches_single_device(rng):
+    """Bank tiles sharded over the mesh axis + one pmin == the
+    single-device online-min scan (associative reduction)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rvos_tpu.parallel.context import global_matching_bank_sharded
+    from rvos_tpu.ops.matching import global_matching_flat
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+    h, w, c, o, r = 7, 9, 8, 3, 53          # r not divisible by 8 → padding
+    q = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+    re = jnp.asarray(rng.standard_normal((r, c)).astype(np.float32))
+    lab = jnp.asarray(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=(r,))])
+    bias = jnp.asarray(rng.standard_normal((o,)).astype(np.float32) * 0.1)
+
+    got = np.asarray(global_matching_bank_sharded(q, re, lab, bias, mesh))
+    want = np.asarray(global_matching_flat(q, re, lab, bias))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_segment_frame_context_parallel_equivalence(rng):
+    """MESH_MODEL_AXIS>1 (GSPMD query-row sharding inside segment_frame)
+    must produce the same logits as the unsharded path (VERDICT r1 #7)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rvos_tpu.configs import tiny_test
+    from rvos_tpu.models import AOCNet
+    from rvos_tpu.models.aocnet import init_model
+    from rvos_tpu.parallel import ambient_mesh_ctx, make_mesh
+
+    base = tiny_test(MODEL_MULTI_LOCAL_DISTANCE=(1, 2), MODEL_MAX_OBJ_NUM=3,
+                     USE_PALLAS=False)
+    model, variables = init_model(base, jax.random.PRNGKey(0), (33, 33))
+    imgs = jnp.asarray(rng.standard_normal((3, 33, 33, 3)).astype(np.float32))
+    emb, _ = model.apply(variables, imgs, method=AOCNet.extract_feature)
+    labels = jnp.zeros(emb.shape[1:3], jnp.int32).at[2:6, 2:6].set(1)
+
+    def run(cfg, mesh_ctx):
+        m = AOCNet(cfg)
+        with mesh_ctx:
+            return np.asarray(jax.jit(
+                lambda v, x, l: m.apply(v, x, l, method=AOCNet.full_forward)
+            )(variables, imgs, labels))
+
+    import contextlib
+    want = run(base, contextlib.nullcontext())
+    mesh = make_mesh(data=2, model=4)
+    got = run(base.replace(MESH_MODEL_AXIS=4), ambient_mesh_ctx(mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

@@ -108,3 +108,30 @@ def test_prehead_shapes(rng):
     m = DynamicPreHead(64)
     var = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(var, x).shape == (4, 6, 7, 64)
+
+
+def test_gn_matches_flax_groupnorm(rng):
+    """The folded-affine GN must equal nn.GroupNorm exactly in f32 and
+    keep bf16 towers bf16 (the f32-materialization fix)."""
+    import flax.linen as nn
+    from rvos_tpu.models.layers import GN
+
+    x = jnp.asarray(rng.standard_normal((3, 7, 5, 64)).astype(np.float32)) * 3
+    gn = GN(num_groups=16)
+    ref = nn.GroupNorm(num_groups=16, epsilon=1e-5)
+    v = gn.init(jax.random.PRNGKey(0), x)
+    # non-trivial affine
+    v = {"params": {"scale": jnp.asarray(
+            rng.standard_normal(64).astype(np.float32)),
+         "bias": jnp.asarray(rng.standard_normal(64).astype(np.float32))}}
+    got = gn.apply(v, x)
+    want = ref.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    xb = x.astype(jnp.bfloat16)
+    vb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), v)
+    out = gn.apply(vb, xb)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want), rtol=0.1, atol=0.1)
