@@ -60,6 +60,12 @@ class _AugState:
                                           dtype)
         self.ring_ptr = 1      # slot 0 pinned to the first frame
         self.capacity = capacity
+        # precompacted flat bank cache (refreshed by the Evaluator when
+        # the bank or the object-validity set changes)
+        self.flat_emb = None
+        self.flat_lab = None
+        self.version = 0
+        self._flat_key = None
 
     def add_ref(self, emb, lab, first=False):
         if first:
@@ -72,6 +78,7 @@ class _AugState:
         self.ref_emb = self.ref_emb.at[slot].set(emb)
         self.ref_lab = self.ref_lab.at[slot].set(lab)
         self.slot_valid = self.slot_valid.at[slot].set(1.0)
+        self.version += 1
 
 
 class Evaluator:
@@ -102,7 +109,35 @@ class Evaluator:
         self._cp_mesh = cp_mesh(cfg)   # context-parallel matching mesh
         self._embed_jit = {}
         self._step_jit = {}
+        self._precompact_jit = {}
         self._last_states: List[_AugState] = []   # test introspection
+
+    def _ensure_flat(self, state: _AugState, obj_valid):
+        """Refresh the precompacted flat bank when the bank contents or
+        the object-validity mask changed (every MEM_EVERY frames / on
+        new-object arrival) — the per-frame step then skips the flatten
+        + fg-ranked top_k (a per-frame sort/gather, ~1 ms at 480p)."""
+        key = (state.version, tuple(np.asarray(obj_valid).tolist()))
+        if state._flat_key == key:
+            return
+        shp = state.ref_emb.shape
+        if shp not in self._precompact_jit:
+            cfg = self.cfg
+            o = cfg.MODEL_MAX_OBJ_NUM
+            cdt = self.compute_dtype
+
+            def fn(ref_emb, ref_lab, slot_valid, ov):
+                onehot = jax.nn.one_hot(ref_lab, o, dtype=cdt)
+                onehot = onehot * ov[None, None, None, :]
+                from ..models.aocnet import precompact_bank
+                return precompact_bank(cfg, ref_emb.astype(cdt), onehot,
+                                       slot_valid)
+
+            self._precompact_jit[shp] = jax.jit(fn)
+        state.flat_emb, state.flat_lab = self._precompact_jit[shp](
+            state.ref_emb, state.ref_lab, state.slot_valid,
+            jnp.asarray(obj_valid, jnp.float32))
+        state._flat_key = key
 
     # -- jitted device functions ------------------------------------------
     def _embed(self, img):
@@ -126,7 +161,7 @@ class Evaluator:
             cdt = self.compute_dtype
 
             def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
-                   ov, mem_slots, mem_valid, k):
+                   ov, mem_slots, mem_valid, k, flat_emb, flat_lab):
                 emb, low = self.model.apply(
                     v, x[None].astype(cdt), True,
                     method=AOCNet.extract_feature)
@@ -137,7 +172,7 @@ class Evaluator:
                     v, emb, low, ref_emb.astype(cdt), ref_onehot, slot_valid,
                     prev_emb.astype(cdt), prev_onehot, ov,
                     DecoderMemory(mem_slots, mem_valid), k,
-                    False, method=AOCNet.segment_frame)
+                    False, flat_emb, flat_lab, method=AOCNet.segment_frame)
                 # upsample to original size then softmax (aocnet.py:103-106)
                 lg = jnp.transpose(logits, (1, 2, 0)).astype(jnp.float32)
                 lg = resize_hw(lg, ori_hw, "bilinear")
@@ -145,12 +180,14 @@ class Evaluator:
                 return probs, emb, new_mem.slots, new_mem.valid
 
             self._step_jit[key] = jax.jit(fn)
+        self._ensure_flat(state, obj_valid)
         from ..parallel.mesh import ambient_mesh_ctx
         with ambient_mesh_ctx(self._cp_mesh):
             return self._step_jit[key](
                 self.variables, img, state.ref_emb, state.ref_lab,
                 state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
-                state.memory.slots, state.memory.valid, frame_key)
+                state.memory.slots, state.memory.valid, frame_key,
+                state.flat_emb, state.flat_lab)
 
     def _step_fused(self, img, state: _AugState, obj_valid, exist_mask,
                     frame_key, ori_hw):
@@ -166,7 +203,7 @@ class Evaluator:
             cdt = self.compute_dtype
 
             def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
-                   ov, em, mem_slots, mem_valid, k):
+                   ov, em, mem_slots, mem_valid, k, flat_emb, flat_lab):
                 emb, low = self.model.apply(
                     v, x[None].astype(cdt), True,
                     method=AOCNet.extract_feature)
@@ -178,7 +215,7 @@ class Evaluator:
                     v, emb, low, ref_emb.astype(cdt), ref_onehot, slot_valid,
                     prev_emb.astype(cdt), prev_onehot, ov,
                     DecoderMemory(mem_slots, mem_valid), k,
-                    False, method=AOCNet.segment_frame)
+                    False, flat_emb, flat_lab, method=AOCNet.segment_frame)
                 lg = jnp.transpose(logits, (1, 2, 0)).astype(jnp.float32)
                 lg = resize_hw(lg, ori_hw, "bilinear")
                 probs = jax.nn.softmax(jnp.transpose(lg, (2, 0, 1)), axis=0)
@@ -194,12 +231,14 @@ class Evaluator:
                         new_mem.slots, new_mem.valid)
 
             self._step_jit[key] = jax.jit(fn)
+        self._ensure_flat(state, obj_valid)
         from ..parallel.mesh import ambient_mesh_ctx
         with ambient_mesh_ctx(self._cp_mesh):
             return self._step_jit[key](
                 self.variables, img, state.ref_emb, state.ref_lab,
                 state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
-                exist_mask, state.memory.slots, state.memory.valid, frame_key)
+                exist_mask, state.memory.slots, state.memory.valid, frame_key,
+                state.flat_emb, state.flat_lab)
 
     # -- label helpers -----------------------------------------------------
     def _downscale_label(self, lab_full: np.ndarray, hw) -> np.ndarray:

@@ -112,8 +112,16 @@ class AOCNet(nn.Module):
         memory: DecoderMemory,
         kmeans_key: jax.Array,
         train: bool = False,
+        flat_emb: jnp.ndarray = None,   # [P, C] precompacted bank (eval)
+        flat_lab: jnp.ndarray = None,   # [P, O]
     ) -> Tuple[jnp.ndarray, DecoderMemory]:
-        """One frame's matching + calibration decode → logits [O, h4, w4]."""
+        """One frame's matching + calibration decode → logits [O, h4, w4].
+
+        ``flat_emb``/``flat_lab``: optional precompacted flat reference
+        bank (see ``precompact_bank``) — the streaming evaluator's bank
+        changes only every MEM_EVERY frames, so hoisting the flatten +
+        fg-ranked top_k compaction out of the per-frame step removes a
+        per-frame sort/gather (~1 ms at 480p)."""
         c = self.cfg
         h, w, _ = current_emb.shape
         o = ref_onehot.shape[-1]
@@ -141,18 +149,22 @@ class AOCNet(nn.Module):
 
         # flatten the bank once; compact to foreground-union pixels
         # (static-shape masked_select, matching.py:2352-2358)
-        s = ref_emb_bank.shape[0]
-        ref_bank_g = ref_emb_bank
-        ref_onehot_g = ref_onehot
-        if g_atrous > 1:
-            ref_bank_g = ref_bank_g[:, ::g_atrous, ::g_atrous]
-            ref_onehot_g = ref_onehot_g[:, ::g_atrous, ::g_atrous]
-        flat_emb = ref_bank_g.reshape(-1, ref_bank_g.shape[-1])
-        flat_lab = (ref_onehot_g * slot_valid[:, None, None, None]
-                    ).reshape(-1, o)
-        if c.MATCHING_MAX_REF_PIXELS:
-            flat_emb, flat_lab = compact_reference_bank(
-                flat_emb, flat_lab, c.MATCHING_MAX_REF_PIXELS)
+        if flat_emb is None:
+            ref_bank_g = ref_emb_bank
+            ref_onehot_g = ref_onehot
+            if g_atrous > 1:
+                ref_bank_g = ref_bank_g[:, ::g_atrous, ::g_atrous]
+                ref_onehot_g = ref_onehot_g[:, ::g_atrous, ::g_atrous]
+            flat_emb = ref_bank_g.reshape(-1, ref_bank_g.shape[-1])
+            flat_lab = (ref_onehot_g * slot_valid[:, None, None, None]
+                        ).reshape(-1, o)
+            if c.MATCHING_MAX_REF_PIXELS:
+                flat_emb, flat_lab = compact_reference_bank(
+                    flat_emb, flat_lab, c.MATCHING_MAX_REF_PIXELS)
+        else:
+            # precompacted upstream; re-mask in case obj_valid grew
+            # since the last refresh (cheap [P, O])
+            flat_lab = flat_lab * obj_valid[None, :]
 
         # 1. global pixel matching (aocnet.py:161-205)
         global_fg = global_matching_flat(
@@ -242,6 +254,24 @@ class AOCNet(nn.Module):
             jnp.ones((1,), emb.dtype), emb[1], onehot,
             jnp.ones((o,), emb.dtype), memory, jax.random.PRNGKey(0), False)
         return logits
+
+
+def precompact_bank(cfg: Config, ref_emb_bank, ref_onehot, slot_valid):
+    """Flatten + fg-ranked compaction of the eval reference bank —
+    the same transform ``segment_frame`` applies inline, hoisted so the
+    evaluator runs it only when the bank (or object set) changes
+    instead of every frame.  Returns (flat_emb [P, C], flat_lab [P, O])."""
+    o = ref_onehot.shape[-1]
+    g = cfg.TEST_GLOBAL_ATROUS_RATE
+    if g > 1:
+        ref_emb_bank = ref_emb_bank[:, ::g, ::g]
+        ref_onehot = ref_onehot[:, ::g, ::g]
+    flat_emb = ref_emb_bank.reshape(-1, ref_emb_bank.shape[-1])
+    flat_lab = (ref_onehot * slot_valid[:, None, None, None]).reshape(-1, o)
+    if cfg.MATCHING_MAX_REF_PIXELS:
+        flat_emb, flat_lab = compact_reference_bank(
+            flat_emb, flat_lab, cfg.MATCHING_MAX_REF_PIXELS)
+    return flat_emb, flat_lab
 
 
 def init_model(cfg: Config, rng: jax.Array, spatial: Tuple[int, int] = (65, 65)):

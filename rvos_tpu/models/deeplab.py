@@ -12,9 +12,11 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_hw
+from .layers import ShiftConv3x3
 from .resnet import FrozenBatchNorm, ResNet101
 
 
@@ -28,9 +30,13 @@ class DeepLabASPP(nn.Module):
         d = (1, 6, 12, 18)
 
         def branch(x, ksize, dilation, name):
-            pad = 0 if ksize == 1 else dilation
-            y = nn.Conv(256, (ksize, ksize), kernel_dilation=(dilation, dilation),
-                        padding=pad, use_bias=False, name=f"{name}_conv")(x)
+            if ksize == 3:
+                y = ShiftConv3x3(256, dilation, name=f"{name}_conv")(x)
+            else:
+                y = nn.Conv(256, (ksize, ksize),
+                            kernel_dilation=(dilation, dilation),
+                            padding=0, use_bias=False,
+                            name=f"{name}_conv")(x)
             y = FrozenBatchNorm(256, name=f"{name}_bn")(y)
             return nn.relu(y)
 
@@ -61,10 +67,10 @@ class DeepLabDecoder(nn.Module):
         ll = nn.relu(ll)
         x = _batched_resize(x, ll.shape[-3:-1])
         x = jnp.concatenate([x, ll], axis=-1)
-        x = nn.Conv(256, (3, 3), padding=1, use_bias=False, name="last_conv0")(x)
+        x = ShiftConv3x3(256, 1, name="last_conv0")(x)
         x = FrozenBatchNorm(256, name="last_bn0")(x)
         x = nn.relu(x)
-        x = nn.Conv(256, (3, 3), padding=1, use_bias=False, name="last_conv1")(x)
+        x = ShiftConv3x3(256, 1, name="last_conv1")(x)
         x = FrozenBatchNorm(256, name="last_bn1")(x)
         x = nn.relu(x)
         return x

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .layers import ShiftConv3x3
+
 
 class FrozenBatchNorm(nn.Module):
     features: int
@@ -48,9 +50,18 @@ class ResNetBottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      kernel_dilation=(self.dilation, self.dilation),
-                      padding=self.dilation, use_bias=False, name="conv2")(out)
+        if self.stride == 1:
+            # stride-1 3x3 as nine shifted matmuls — XLA:TPU row-slices
+            # batch-1 NHWC convs (see ShiftConv3x3); stride-2 blocks
+            # keep the native conv (only 3 of them, halved output)
+            out = ShiftConv3x3(self.planes, self.dilation,
+                               name="conv2")(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3),
+                          strides=(self.stride, self.stride),
+                          kernel_dilation=(self.dilation, self.dilation),
+                          padding=self.dilation, use_bias=False,
+                          name="conv2")(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)

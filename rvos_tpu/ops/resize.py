@@ -84,6 +84,18 @@ def resize_hw(x: jnp.ndarray, out_hw, mode: str = "bilinear") -> jnp.ndarray:
     trailing = x.shape[2:]
     mat_h = jnp.asarray(_resize_matrix(h, oh, mode))
     mat_w = jnp.asarray(_resize_matrix(w, ow, mode))
+    if orig_dtype == jnp.bfloat16:
+        # keep the datapath bf16 (f32 accumulation fused into the
+        # matmul): an f32 intermediate here re-materializes the whole
+        # [H, W, C] activation in f32 — measured ~2 ms/frame of layout
+        # copies in the 480p eval decoder upsample alone
+        xf = x.reshape(h, -1)
+        xf = jnp.dot(mat_h.astype(jnp.bfloat16), xf,
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        xf = xf.reshape(oh, w, -1)
+        xf = jnp.einsum("ow,hwc->hoc", mat_w.astype(jnp.bfloat16), xf,
+                        preferred_element_type=jnp.float32)
+        return xf.astype(jnp.bfloat16).reshape((oh, ow) + trailing)
     xf = x.reshape(h, -1).astype(jnp.float32)
     xf = mat_h @ xf                                  # [oh, w*rest]
     xf = xf.reshape(oh, w, -1)
