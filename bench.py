@@ -102,6 +102,31 @@ def main():
         _log(f"bench: pallas-vs-xla max rel err {rel:.2e}")
         assert rel < 5e-2, f"Pallas kernel numerics drifted: {rel}"
 
+        # segmented-bank kernel gate: same query against the label-
+        # segmented compaction (the production eval layout) — valid
+        # object channels must agree with the XLA online-min on the
+        # identical segmented rows.
+        from rvos_tpu.ops.matching import compact_reference_bank_segmented
+        from rvos_tpu.ops.pallas_matching import (
+            global_matching_pallas_segmented)
+        se, sl = compact_reference_bank_segmented(
+            fe, fl, cfg.MATCHING_MAX_REF_PIXELS)
+        seg_obj = jnp.repeat(jnp.arange(n_obj), se.shape[0] // n_obj)
+        srow = (1.0 - jnp.take_along_axis(
+            sl, seg_obj[:, None], axis=1)[:, 0]) * 5e4
+        d_seg = np.asarray(jax.jit(
+            lambda q, r, b: global_matching_pallas_segmented(
+                q, r, b, n_obj=n_obj, mixed=True)
+        )(qk, se.astype(jnp.float32), srow))
+        d_seg_xla = np.asarray(jax.jit(global_matching_min)(
+            qk, se.astype(jnp.float32), sl))
+        # channels with bank pixels only (empty ones saturate by design)
+        has_px = np.asarray(jnp.sum(sl, axis=0)) > 0
+        rel_s = (np.abs(d_seg[:, has_px] - d_seg_xla[:, has_px])
+                 / np.maximum(np.abs(d_seg_xla[:, has_px]), 1.0)).max()
+        _log(f"bench: segmented-pallas-vs-xla max rel err {rel_s:.2e}")
+        assert rel_s < 5e-2, f"segmented kernel numerics drifted: {rel_s}"
+
     exist = jnp.ones((n_obj,))
     ori_hw = (480, 854) if on_tpu else (H, W)
 

@@ -134,6 +134,9 @@ class Config:
     MATCHING_MAX_REF_PIXELS: int = 16384   # fg-union bank compaction cap (0 = off)
     USE_PALLAS: bool = True                # fused Pallas kernels on TPU backends
     USE_PALLAS_LOCAL: bool = False         # local-matching kernel (XLA scan is on par)
+    MATCHING_SEGMENTED_BANK: bool = True   # label-segmented eval bank layout
+    #   (per-object tile-aligned quotas -> label-pure reference tiles; the
+    #   segmented Pallas kernel then needs one min per tile instead of O)
     EVAL_COMPUTE_DTYPE: str = "bfloat16"   # eval-time model compute ("float32" for parity)
     TEST_FUSED_POSTPROCESS: bool = True    # on-device argmax/entropy fast path (False: host path)
     MESH_MODEL_AXIS: int = 1               # context-parallel matching shards (query rows)

@@ -31,7 +31,10 @@ from ..ops import (
     proxy_matching,
     proxy_reconstructed_embedding,
 )
-from ..ops.matching import compact_reference_bank, global_matching_flat
+from ..ops.matching import (compact_reference_bank,
+                            compact_reference_bank_segmented,
+                            global_matching_flat,
+                            global_matching_flat_segmented)
 from .decoder import CalibrationDecoding, DecoderMemory
 from .deeplab import DeepLab
 from .layers import GN, DynamicPreHead
@@ -149,6 +152,7 @@ class AOCNet(nn.Module):
 
         # flatten the bank once; compact to foreground-union pixels
         # (static-shape masked_select, matching.py:2352-2358)
+        seg_bank = False
         if flat_emb is None:
             ref_bank_g = ref_emb_bank
             ref_onehot_g = ref_onehot
@@ -165,12 +169,23 @@ class AOCNet(nn.Module):
             # precompacted upstream; re-mask in case obj_valid grew
             # since the last refresh (cheap [P, O])
             flat_lab = flat_lab * obj_valid[None, :]
+            seg_bank = (c.MATCHING_SEGMENTED_BANK
+                        and bool(c.MATCHING_MAX_REF_PIXELS))
 
-        # 1. global pixel matching (aocnet.py:161-205)
-        global_fg = global_matching_flat(
-            current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
-            bias, dtype=dtype, use_pallas=use_pallas, mixed=mixed,
-            cp_axis=cp_axis)
+        # 1. global pixel matching (aocnet.py:161-205).  A precompacted
+        # label-segmented bank + TPU inference routes to the segmented
+        # kernel (one min per label-pure tile); every other path — train,
+        # CPU, context-parallel — runs the XLA online-min, which treats
+        # the segmented layout exactly like any flat bank.
+        if flat_emb is not None and seg_bank and use_pallas and cp_axis is None:
+            global_fg = global_matching_flat_segmented(
+                current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
+                bias, dtype=dtype, mixed=mixed)
+        else:
+            global_fg = global_matching_flat(
+                current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
+                bias, dtype=dtype, use_pallas=use_pallas, mixed=mixed,
+                cp_axis=cp_axis)
 
         # 2. AOP cluster matching (aocnet.py:207-251).  The reference
         # clusters DETACHED embeddings (matching.py:289 .detach().cpu())
@@ -269,8 +284,12 @@ def precompact_bank(cfg: Config, ref_emb_bank, ref_onehot, slot_valid):
     flat_emb = ref_emb_bank.reshape(-1, ref_emb_bank.shape[-1])
     flat_lab = (ref_onehot * slot_valid[:, None, None, None]).reshape(-1, o)
     if cfg.MATCHING_MAX_REF_PIXELS:
-        flat_emb, flat_lab = compact_reference_bank(
-            flat_emb, flat_lab, cfg.MATCHING_MAX_REF_PIXELS)
+        if cfg.MATCHING_SEGMENTED_BANK:
+            flat_emb, flat_lab = compact_reference_bank_segmented(
+                flat_emb, flat_lab, cfg.MATCHING_MAX_REF_PIXELS)
+        else:
+            flat_emb, flat_lab = compact_reference_bank(
+                flat_emb, flat_lab, cfg.MATCHING_MAX_REF_PIXELS)
     return flat_emb, flat_lab
 
 

@@ -97,10 +97,23 @@ class GN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         red_axes = tuple(range(1, x.ndim - 1))
         xg = x.reshape(x.shape[:-1] + (g, c // g))
-        xf = xg.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=red_axes + (x.ndim,), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=red_axes + (x.ndim,),
-                       keepdims=True)
+        if x.dtype == jnp.bfloat16:
+            # bf16 tower: square in bf16, accumulate in f32 (the
+            # ``dtype=`` reduce fuses the convert — upcasting the whole
+            # activation first materializes a f32 copy + layout
+            # transposes around the neighboring convs, ~2 ms/frame at
+            # 480p).  E[x²]−E[x]² cancellation is bounded by the bf16
+            # rounding already accepted on the squares.
+            mean = jnp.mean(xg, axis=red_axes + (x.ndim,), keepdims=True,
+                            dtype=jnp.float32)
+            sq_mean = jnp.mean(jnp.square(xg), axis=red_axes + (x.ndim,),
+                               keepdims=True, dtype=jnp.float32)
+            var = jnp.maximum(sq_mean - jnp.square(mean), 0.0)
+        else:
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red_axes + (x.ndim,), keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=red_axes + (x.ndim,),
+                           keepdims=True)
         rstd = jax.lax.rsqrt(var + self.epsilon)          # [B,1..,G,1]
         # fold: y = x*(scale*rstd) + (bias - mean*scale*rstd)
         b = x.shape[0]
@@ -124,12 +137,17 @@ class GCT(nn.Module):
         alpha = self.param("alpha", nn.initializers.ones, (1, 1, 1, self.channels))
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, self.channels))
         beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, self.channels))
-        # gate statistics in f32 (accumulating H*W squares in bf16 loses
-        # ~1% — the gate is tiny [O,1,1,C]); apply in the input dtype so
-        # a bf16 tower stays bf16 end-to-end
-        xf = x.astype(jnp.float32)
-        embedding = jnp.sqrt(jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True)
-                             + self.epsilon) * alpha.astype(jnp.float32)
+        # gate statistics accumulate in f32; in a bf16 tower the squares
+        # stay bf16 (the ``dtype=`` reduce fuses the convert — an
+        # explicit f32 upcast materializes the whole activation in f32
+        # with layout copies around the neighboring convs)
+        if x.dtype == jnp.bfloat16:
+            sumsq = jnp.sum(jnp.square(x), axis=(1, 2), keepdims=True,
+                            dtype=jnp.float32)
+        else:
+            sumsq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                            keepdims=True)
+        embedding = jnp.sqrt(sumsq + self.epsilon) * alpha.astype(jnp.float32)
         norm = gamma.astype(jnp.float32) / jnp.sqrt(
             jnp.mean(jnp.square(embedding), axis=-1, keepdims=True)
             + self.epsilon)

@@ -118,6 +118,83 @@ def compact_reference_bank(r_emb: jnp.ndarray, r_lab: jnp.ndarray,
     return r_emb[top], r_lab[top] * valid[top][:, None]
 
 
+def segmented_quota(max_pixels: int, n_obj: int, tile: int = 1024) -> int:
+    """Per-object row quota for the label-segmented bank layout."""
+    return max(tile, (max_pixels // (n_obj * tile)) * tile)
+
+
+def compact_reference_bank_segmented(r_emb: jnp.ndarray, r_lab: jnp.ndarray,
+                                     max_pixels: int, tile: int = 1024):
+    """Label-segmented static compaction: object channel ``o`` owns rows
+    ``[o*quota, (o+1)*quota)`` of the output, filled with a top-k of its
+    own pixels (deterministic-hash subsampling past the quota).
+
+    Segment-filler rows (object has fewer pixels than its quota) carry
+    all-zero labels, so the XLA online-min path treats them exactly like
+    the unsegmented bank's padding (+5e4 for every object) — the
+    segmented layout is just a particular (emb, lab) arrangement.  The
+    segmented Pallas kernel additionally exploits the alignment: each
+    reference tile is label-pure, so the per-object penalty loop
+    (O× the VPU min work, the kernel's bottleneck) collapses to one
+    biased min and a dynamic-row store.
+
+    Per-object quotas also mean compaction can never starve a small
+    object in favor of background — strictly better than fg-ranked
+    union sampling when the bank overflows (reference never drops
+    pixels: ``matching.py:2352-2358`` chunks instead).
+    """
+    r, o = r_lab.shape
+    quota = segmented_quota(max_pixels, o, tile)
+    if r < quota:
+        r_emb = jnp.pad(r_emb, ((0, quota - r), (0, 0)))
+        r_lab = jnp.pad(r_lab, ((0, quota - r), (0, 0)))
+        r = quota
+    idx = jnp.arange(r, dtype=jnp.uint32)
+    tie = (idx * jnp.uint32(2654435761) % jnp.uint32(0x7FFFFFFF)
+           ).astype(jnp.float32) / jnp.float32(0x7FFFFFFF)
+
+    def per_obj(lab_o):
+        _, top = jax.lax.top_k(lab_o * 2.0 + tie, quota)
+        return top, lab_o[top]
+
+    tops, sels = jax.vmap(per_obj, in_axes=1)(r_lab)       # [O, quota]
+    emb = r_emb[tops.reshape(-1)]
+    seg_obj = jnp.repeat(jnp.arange(o), quota)
+    lab = (jax.nn.one_hot(seg_obj, o, dtype=r_lab.dtype)
+           * sels.reshape(-1)[:, None].astype(r_lab.dtype))
+    return emb, lab
+
+
+def global_matching_flat_segmented(
+    query_emb: jnp.ndarray,      # [H, W, C]
+    r_emb: jnp.ndarray,          # [O*quota, C] segmented bank
+    r_lab: jnp.ndarray,          # [O*quota, O] (one-hot within segments)
+    dis_bias: jnp.ndarray,       # [O]
+    *,
+    dtype=jnp.float32,
+    mixed: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Global matching over a label-segmented bank via the segmented
+    Pallas kernel → [H, W, O, 1].  The per-row bias folds both the
+    filler-row penalty and obj_valid masking (callers zero invalid
+    objects' label columns)."""
+    from .pallas_matching import global_matching_pallas_segmented
+    h, w, c = query_emb.shape
+    o = r_lab.shape[-1]
+    p = r_emb.shape[0]
+    q = query_emb.reshape(h * w, c).astype(dtype)
+    seg_obj = jnp.repeat(jnp.arange(o), p // o)
+    own = jnp.take_along_axis(r_lab.astype(jnp.float32),
+                              seg_obj[:, None], axis=1)[:, 0]        # [P]
+    bias = (1.0 - own) * WRONG_LABEL_PADDING_DISTANCE
+    d_min = global_matching_pallas_segmented(q, r_emb.astype(dtype), bias,
+                                             n_obj=o, mixed=mixed,
+                                             interpret=interpret)
+    d_min = d_min.astype(jnp.float32).reshape(h, w, o)
+    return squash_distance(d_min[..., None], dis_bias)
+
+
 def global_matching_flat(
     query_emb: jnp.ndarray,      # [H, W, C]
     r_emb: jnp.ndarray,          # [R, C] flat reference bank
@@ -450,41 +527,74 @@ def _local_matching_online_stacked(x, ys, labels, radii, a_max, k,
                      constant_values=WRONG_LABEL_PADDING_DISTANCE)
     lab_pad = jnp.pad(labels, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
 
+    v = w + 2 * pad_d
+    # cross terms per scan step run as ONE batched row-band matmul on
+    # the MXU ([w,C]x[C,v] per (s,h)) — the former K-fold shifted-copy
+    # einsum lowered to a VPU multiply-reduce re-reading S*K*h*w*C
+    # elements per step (~2.5 ms/frame at 480p).  The banded window
+    # values cross[s,h,w,k] = full[s,h,w,w+k*a] come out of the matmul
+    # via the diagonal-band reshape trick (pad each [w,v] slab by w
+    # elements, reshape to [w,v+1]: row i then starts at its own
+    # diagonal), so no gather is needed.
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    asc = sorted(set(radii))                    # nested-min radius order
+    # mixed/bf16 eval: keep the windowed distance cube (the scan's
+    # dominant HBM traffic, [S,h,w,K,O] per step) in bf16 — distances
+    # are O(10²) with a 5e4 sentinel, both comfortably inside bf16
+    # range, and min selection tolerates the 0.4% mantissa rounding
+    # exactly like the global kernel's bf16 min datapath
+    low = x.dtype == jnp.bfloat16
+    cube_dt = jnp.bfloat16 if low else jnp.float32
+
     def row_body(carry, dy_idx):
         dy = dy_idx * atrous_rate
-        band = jax.lax.dynamic_slice(y_pad, (0, dy, 0, 0),
-                                     (s_n, h, w + 2 * pad_d, c))
-        band2 = jax.lax.dynamic_slice(y2_pad, (0, dy, 0),
-                                      (s_n, h, w + 2 * pad_d))
-        lband = jax.lax.dynamic_slice(lab_pad, (dy, 0, 0),
-                                      (h, w + 2 * pad_d, o))
-        # column shifts along the (shared) w axis: [S,K,h,w,C]
-        cols = jnp.stack([jax.lax.slice_in_dim(band, i * atrous_rate,
-                                               i * atrous_rate + w, axis=2)
-                          for i in range(k)], axis=1)
+        band = jax.lax.dynamic_slice(y_pad, (0, dy, 0, 0), (s_n, h, v, c))
+        band2 = jax.lax.dynamic_slice(y2_pad, (0, dy, 0), (s_n, h, v))
+        lband = jax.lax.dynamic_slice(lab_pad, (dy, 0, 0), (h, v, o))
+        full = jnp.einsum("hwc,shvc->shwv", x, band,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)                             # [S,h,w,v]
+        full = full.astype(cube_dt)
+        diag = jnp.pad(full.reshape(s_n, h, w * v), ((0, 0), (0, 0), (0, w))
+                       ).reshape(s_n, h, w, v + 1)
+        cross = diag[..., 0:(k - 1) * atrous_rate + 1:atrous_rate]    # [S,h,w,K]
         cols2 = jnp.stack([jax.lax.slice_in_dim(band2, i * atrous_rate,
                                                 i * atrous_rate + w, axis=2)
-                           for i in range(k)], axis=1)                # [S,K,h,w]
-        lcols = _col_shifts(lband, k, atrous_rate, w)                 # [K,h,w,O]
-        # dot in the input dtype (bf16 at eval), f32 accumulation/norms
-        cross = jnp.einsum("skhwc,hwc->skhw", cols, x,
-                           preferred_element_type=jnp.float32)
-        d_row = x2[None, None] + cols2.astype(jnp.float32) - 2.0 * cross
+                           for i in range(k)], axis=-1)               # [S,h,w,K]
+        lcols = jnp.stack([jax.lax.slice_in_dim(lband, i * atrous_rate,
+                                                i * atrous_rate + w, axis=1)
+                           for i in range(k)], axis=2)                # [h,w,K,O]
+        d_row = (x2[None, ..., None].astype(cube_dt)
+                 + cols2.astype(cube_dt) - 2.0 * cross)
         dm = jnp.where(lcols[None] > 0.9, d_row[..., None],
-                       jnp.float32(WRONG_LABEL_PADDING_DISTANCE))     # [S,K,h,w,O]
+                       jnp.asarray(WRONG_LABEL_PADDING_DISTANCE, cube_dt))
 
         dy_off = jnp.abs(dy_idx - a_max)
+        # nested mins: each larger radius extends the previous window
+        cands = {}
+        cur, lo_p, hi_p = None, None, None
+        for r in asc:
+            lo, hi = a_max - r, a_max + r + 1
+            if cur is None:
+                cur = jnp.min(dm[:, :, :, lo:hi], axis=3)             # [S,h,w,O]
+            else:
+                if lo < lo_p:
+                    cur = jnp.minimum(cur, jnp.min(dm[:, :, :, lo:lo_p],
+                                                   axis=3))
+                if hi > hi_p:
+                    cur = jnp.minimum(cur, jnp.min(dm[:, :, :, hi_p:hi],
+                                                   axis=3))
+            cands[r], lo_p, hi_p = cur, lo, hi
         new = []
         for i, r in enumerate(order):
-            sl = dm[:, a_max - r: a_max + r + 1]
-            cand = jnp.min(sl, axis=1)                                # [S,h,w,O]
-            cand = jnp.where(dy_off <= r, cand, jnp.inf)
+            cand = jnp.where(dy_off <= r, cands[r], jnp.inf)
             new.append(jnp.minimum(carry[i], cand))
         return jnp.stack(new), None
 
-    init = jnp.full((n_r, s_n, h, w, o), jnp.inf, jnp.float32)
+    init = jnp.full((n_r, s_n, h, w, o), jnp.inf, cube_dt)
     mins, _ = jax.lax.scan(row_body, init, jnp.arange(k))             # [n,S,h,w,O]
-    return jnp.transpose(mins, (1, 2, 3, 4, 0))
+    return jnp.transpose(mins, (1, 2, 3, 4, 0)).astype(jnp.float32)
 
 
 def local_matching_bank(

@@ -80,6 +80,111 @@ def _kernel(q_ref, r_ref, pen_ref, out_ref, *, n_obj: int, mixed: bool):
         out_ref[o, :] = jnp.minimum(out_ref[o, :], dm)
 
 
+def _kernel_seg(q_ref, r_ref, bias_ref, out_ref, *, tiles_per_obj: int,
+                mixed: bool, empty_dist: float):
+    """Label-segmented variant: reference tiles are label-pure (bank
+    rows sorted/padded per object, see
+    ``matching.compact_reference_bank_segmented``), so the per-object
+    penalty loop of ``_kernel`` — O× the VPU min work, its bottleneck —
+    collapses to ONE biased min and a dynamic-row min-update into the
+    tile's object channel."""
+    j = pl.program_id(1)
+
+    q = q_ref[:].astype(jnp.float32)                      # [TM, C]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)            # [TM, 1]
+    qd = q_ref[:].astype(jnp.bfloat16) if mixed else q_ref[:]
+
+    # chunk the reference tile so the [TM, ck] distance intermediate
+    # stays ~4 MB — the grid tile itself is large purely to amortize
+    # the per-step pipeline overhead (~2 us) over more work
+    tr = r_ref.shape[0]
+    ck = min(tr, _CK_SEG)
+    dmin = None
+    for s in range(tr // ck):
+        rc = r_ref[s * ck:(s + 1) * ck, :]
+        r32 = rc.astype(jnp.float32)
+        r2 = jnp.sum(r32 * r32, axis=1)                   # [ck]
+        rd = rc.astype(jnp.bfloat16) if mixed else rc
+        cross = jax.lax.dot_general(
+            qd, rd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [TM, ck]
+        # filler/invalid rows carry +5e4 — folded into the r² row term
+        d = q2 + (r2 + bias_ref[0, s * ck:(s + 1) * ck]).reshape(1, -1) \
+            - 2.0 * cross
+        if mixed:
+            d = d.astype(jnp.bfloat16)
+        m = jnp.min(d, axis=1).astype(jnp.float32)        # [TM]
+        dmin = m if dmin is None else jnp.minimum(dmin, m)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.full_like(out_ref, empty_dist)
+
+    obj = j // tiles_per_obj
+    cur = out_ref[pl.ds(obj, 1), :]
+    out_ref[pl.ds(obj, 1), :] = jnp.minimum(cur, dmin.reshape(1, -1))
+
+
+_TM_SEG = 2048   # query tile — large tiles amortize the ~2 us/grid-step
+_TR_SEG = 1024   # pipeline floor (the kernel is step-overhead-bound, not
+#                  FLOP-bound: 512x512 tiles ran 1632 steps at 2.1 us each)
+_CK_SEG = 512    # in-kernel reference chunk (bounds the f32 distance
+#                  intermediate to TM*CK*4 = 4 MB of VMEM)
+# channels with no bank segment (never stored) read as a huge finite
+# distance — squashes to 1.0 exactly like the unsegmented all-penalty
+# min (~5e4); finite so downstream arithmetic stays NaN-free
+_EMPTY_DIST = 2.0 * WRONG_LABEL_PADDING_DISTANCE
+
+
+@functools.partial(jax.jit, static_argnames=("n_obj", "interpret", "mixed"))
+def global_matching_pallas_segmented(q: jnp.ndarray, r_emb: jnp.ndarray,
+                                     bias: jnp.ndarray, n_obj: int,
+                                     interpret: bool = False,
+                                     mixed: bool = True) -> jnp.ndarray:
+    """q: [M, C]; r_emb: [O*quota, C] label-segmented bank; bias: [O*quota]
+    per-row penalty (0 = live row of its segment's object) → [M, O]."""
+    m, c = q.shape
+    p = r_emb.shape[0]
+    quota = p // n_obj
+    if quota * n_obj != p or quota % _TR_SEG:
+        raise ValueError(f"bank rows {p} not segment-aligned for O={n_obj}")
+
+    mp = _round_up(m, _TM_SEG)
+    cp = _round_up(c, 128)
+    op = _round_up(n_obj, 8)
+
+    qp = jnp.pad(q, ((0, mp - m), (0, cp - c)))
+    rep = jnp.pad(r_emb, ((0, 0), (0, cp - c)))
+    biasp = bias.astype(jnp.float32).reshape(1, p)
+
+    grid = (mp // _TM_SEG, p // _TR_SEG)
+    out = pl.pallas_call(
+        functools.partial(_kernel_seg, tiles_per_obj=quota // _TR_SEG,
+                          mixed=mixed, empty_dist=float(_EMPTY_DIST)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TM_SEG, cp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TR_SEG, cp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TR_SEG), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((op, _TM_SEG), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((op, mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * p * cp + 3 * mp * p,
+            bytes_accessed=(mp * cp + p * cp + p + op * mp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qp, rep, biasp)
+    return out[:n_obj, :m].T
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "mixed"))
 def global_matching_pallas(q: jnp.ndarray, r_emb: jnp.ndarray,
                            r_lab: jnp.ndarray, interpret: bool = False,
