@@ -135,3 +135,42 @@ def test_gn_matches_flax_groupnorm(rng):
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want), rtol=0.1, atol=0.1)
+
+
+def test_shiftconv_matches_nn_conv(rng):
+    """ShiftConv3x3 is param-compatible with nn.Conv(f,(3,3)) (same
+    'kernel' [3,3,Cin,Cout]) and numerically equivalent for stride-1
+    dilated convs — the torch-weight converter must keep working."""
+    import flax.linen as nn
+    from rvos_tpu.models.layers import ShiftConv3x3
+    for dil in (1, 2):
+        x = jnp.asarray(rng.standard_normal((2, 9, 11, 6)).astype(np.float32))
+        sc = ShiftConv3x3(8, dil)
+        v = sc.init(jax.random.PRNGKey(0), x)
+        ref = nn.Conv(8, (3, 3), kernel_dilation=(dil, dil), padding=dil,
+                      use_bias=False)
+        got = sc.apply(v, x)
+        want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_gn_gct_bf16_fast_path_tolerance(rng):
+    """The bf16 statistics fast paths (squares in bf16, f32 accumulation,
+    E[x²]−E[x]² variance) must stay within bf16 rounding of the exact
+    f32 path."""
+    from rvos_tpu.models.layers import GN, GCT
+    x = rng.standard_normal((3, 7, 5, 32)).astype(np.float32) * 2.0 + 0.5
+    gn = GN(num_groups=8)
+    v = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    exact = np.asarray(gn.apply(v, jnp.asarray(x)))
+    fast = np.asarray(gn.apply(v, jnp.asarray(x, jnp.bfloat16))
+                      .astype(jnp.float32))
+    np.testing.assert_allclose(fast, exact, atol=0.15, rtol=0.05)
+
+    gct = GCT(32)
+    vg = gct.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    exact_g = np.asarray(gct.apply(vg, jnp.asarray(x)))
+    fast_g = np.asarray(gct.apply(vg, jnp.asarray(x, jnp.bfloat16))
+                        .astype(jnp.float32))
+    np.testing.assert_allclose(fast_g, exact_g, atol=0.15, rtol=0.05)
