@@ -31,6 +31,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ShiftConv3x3(nn.Module):
@@ -98,17 +99,25 @@ class GN(nn.Module):
         red_axes = tuple(range(1, x.ndim - 1))
         xg = x.reshape(x.shape[:-1] + (g, c // g))
         if x.dtype == jnp.bfloat16:
-            # bf16 tower: square in bf16, accumulate in f32 (the
-            # ``dtype=`` reduce fuses the convert — upcasting the whole
-            # activation first materializes a f32 copy + layout
-            # transposes around the neighboring convs, ~2 ms/frame at
-            # 480p).  E[x²]−E[x]² cancellation is bounded by the bf16
-            # rounding already accepted on the squares.
-            mean = jnp.mean(xg, axis=red_axes + (x.ndim,), keepdims=True,
-                            dtype=jnp.float32)
-            sq_mean = jnp.mean(jnp.square(xg), axis=red_axes + (x.ndim,),
-                               keepdims=True, dtype=jnp.float32)
+            # bf16 tower: two-stage statistics — bf16 partial sums over
+            # the per-group channel axis (cg ≤ 8 terms, minor dim, fuses
+            # into the producer), then f32 accumulation of the cg×
+            # smaller partials.  A ``dtype=f32`` reduce over the full
+            # activation makes XLA materialize the converted square
+            # ([B,H,W,C] f32 + layout copies, ~2 ms/frame at 480p);
+            # E[x²]−E[x]² cancellation is bounded by the bf16 rounding
+            # already accepted on the squares.
+            cg = c // g
+            n_el = float(np.prod([x.shape[a] for a in red_axes]) * cg)
+            s1 = jnp.sum(xg, axis=-1)                      # [B,*sp,G] bf16
+            q1 = jnp.sum(jnp.square(xg), axis=-1)
+            mean = (jnp.sum(s1, axis=red_axes, keepdims=True,
+                            dtype=jnp.float32) / n_el)     # [B,1..,G]
+            sq_mean = (jnp.sum(q1, axis=red_axes, keepdims=True,
+                               dtype=jnp.float32) / n_el)
             var = jnp.maximum(sq_mean - jnp.square(mean), 0.0)
+            mean = mean[..., None]
+            var = var[..., None]
         else:
             xf = xg.astype(jnp.float32)
             mean = jnp.mean(xf, axis=red_axes + (x.ndim,), keepdims=True)
@@ -142,7 +151,16 @@ class GCT(nn.Module):
         # explicit f32 upcast materializes the whole activation in f32
         # with layout copies around the neighboring convs)
         if x.dtype == jnp.bfloat16:
-            sumsq = jnp.sum(jnp.square(x), axis=(1, 2), keepdims=True,
+            # two-stage: bf16 partial sums over 8-wide w-chunks (zero
+            # padding leaves the sum unchanged), f32 accumulation of the
+            # 8× smaller partials — same rationale as the GN fast path
+            o_, h_, w_, c_ = x.shape
+            wp = (-w_) % 8
+            xq = jnp.square(x)
+            if wp:
+                xq = jnp.pad(xq, ((0, 0), (0, 0), (0, wp), (0, 0)))
+            s1 = jnp.sum(xq.reshape(o_, h_, (w_ + wp) // 8, 8, c_), axis=3)
+            sumsq = jnp.sum(s1, axis=(1, 2), keepdims=True,
                             dtype=jnp.float32)
         else:
             sumsq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
