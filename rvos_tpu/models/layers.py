@@ -298,7 +298,11 @@ class ConditioningLayer(nn.Module):
                       name="phi_layer")(z)                    # [O, H, W, 1]
         phi_flat = phi.reshape(o, h * w)
         beta_rank = max(1, int(self.beta_percentage * h * w))
-        kth = jnp.sort(phi_flat, axis=-1)[:, -beta_rank][:, None]
+        # values-only unstable sort: jnp.sort defaults to a stable
+        # tuple-sort that drags an s32 iota companion through the TPU
+        # sort network — only the kth VALUE is needed here
+        kth = jax.lax.sort(phi_flat, dimension=-1,
+                           is_stable=False)[:, -beta_rank][:, None]
         mask = (phi_flat > kth).astype(z.dtype)               # strict >, ref :36
         z_flat = z.reshape(o, h * w, c)
         pooled = jnp.sum(z_flat * mask[..., None], axis=1) / (h * w)

@@ -159,17 +159,21 @@ def global_matching_pallas_segmented(q: jnp.ndarray, r_emb: jnp.ndarray,
     rep = jnp.pad(r_emb, ((0, 0), (0, cp - c)))
     biasp = bias.astype(jnp.float32).reshape(1, p)
 
-    grid = (mp // _TM_SEG, p // _TR_SEG)
+    # double the reference tile when the per-object quota allows — the
+    # kernel is pipeline-step-bound, so fewer/larger steps win as long
+    # as segments stay tile-pure (in-kernel chunking bounds VMEM)
+    tr = 2 * _TR_SEG if quota % (2 * _TR_SEG) == 0 else _TR_SEG
+    grid = (mp // _TM_SEG, p // tr)
     out = pl.pallas_call(
-        functools.partial(_kernel_seg, tiles_per_obj=quota // _TR_SEG,
+        functools.partial(_kernel_seg, tiles_per_obj=quota // tr,
                           mixed=mixed, empty_dist=float(_EMPTY_DIST)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TM_SEG, cp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TR_SEG, cp), lambda i, j: (j, 0),
+            pl.BlockSpec((tr, cp), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TR_SEG), lambda i, j: (0, j),
+            pl.BlockSpec((1, tr), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((op, _TM_SEG), lambda i, j: (0, i),
