@@ -556,9 +556,13 @@ def _local_matching_online_stacked(x, ys, labels, radii, a_max, k,
                           preferred_element_type=jnp.float32,
                           precision=prec)                             # [S,h,w,v]
         full = full.astype(cube_dt)
-        diag = jnp.pad(full.reshape(s_n, h, w * v), ((0, 0), (0, 0), (0, w))
+        # (a take_along_axis diagonal gather measured 4x SLOWER than
+        # the whole frame here — TPU lane gathers serialize; the
+        # pad+reshape relayout pair is the cheap form of this extract)
+        diag = jnp.pad(full.reshape(s_n, h, w * v),
+                       ((0, 0), (0, 0), (0, w))
                        ).reshape(s_n, h, w, v + 1)
-        cross = diag[..., 0:(k - 1) * atrous_rate + 1:atrous_rate]    # [S,h,w,K]
+        cross = diag[..., 0:(k - 1) * atrous_rate + 1:atrous_rate]
         cols2 = jnp.stack([jax.lax.slice_in_dim(band2, i * atrous_rate,
                                                 i * atrous_rate + w, axis=2)
                            for i in range(k)], axis=-1)               # [S,h,w,K]

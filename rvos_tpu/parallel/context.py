@@ -96,7 +96,10 @@ def global_matching_bank_sharded(
             # q arrives replicated (unvarying over `axis`) while the
             # bank tiles vary — mark q varying so the online-min scan's
             # carry types agree inside the manual region
-            q_full = jax.lax.pvary(q_full, axis)
+            if hasattr(jax.lax, "pcast"):
+                q_full = jax.lax.pcast(q_full, axis, to="varying")
+            else:  # older jax
+                q_full = jax.lax.pvary(q_full, axis)
             local = _global_matching_xla(q_full, re_shard, rl_shard,
                                          min(tile_r, re_shard.shape[0]))
             return jax.lax.pmin(local, axis)
