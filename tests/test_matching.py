@@ -343,3 +343,27 @@ def test_segmented_pallas_kernel_interpret_matches_xla(rng):
     want_sq = np.asarray(squash_distance(
         jnp.asarray(want).reshape(7, 10, o)[..., None], dis_bias))
     np.testing.assert_allclose(got_sq, want_sq, atol=1e-3)
+
+
+def test_segmented_kernel_ytb_object_count(rng):
+    """O=11 (YTB MAX_OBJ 10 + bg): quota falls to one tile per object —
+    exercises the tiles_per_obj=1 and op-padding (16) kernel config."""
+    from rvos_tpu.ops.matching import (compact_reference_bank_segmented,
+                                       _global_matching_xla)
+    from rvos_tpu.ops.pallas_matching import global_matching_pallas_segmented
+    o, c = 11, 12
+    r = 3000
+    emb = rng.standard_normal((r, c)).astype(np.float32)
+    lab = np.eye(o, dtype=np.float32)[rng.integers(0, o, size=(r,))]
+    se, sl = compact_reference_bank_segmented(jnp.asarray(emb),
+                                              jnp.asarray(lab), 16384)
+    p = se.shape[0]
+    assert p == o * 1024 and p % 1024 == 0
+    seg_obj = np.repeat(np.arange(o), p // o)
+    bias = (1.0 - np.asarray(sl)[np.arange(p), seg_obj]) * 5e4
+    q = jnp.asarray(rng.standard_normal((40, c)).astype(np.float32))
+    got = np.asarray(global_matching_pallas_segmented(
+        q, se, jnp.asarray(bias.astype(np.float32)), n_obj=o,
+        interpret=True, mixed=False))
+    want = np.asarray(_global_matching_xla(q, se, sl, tile_r=512))
+    np.testing.assert_allclose(got, want, atol=1e-3)
