@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .deeplab import _batched_resize
-from .layers import GCT, GN, ConditioningBlock, GNASPP, GNBottleneck, IAGate
+from .layers import (GCT, GN, ConditioningBlock, GNASPP, GNBottleneck,
+                     IAGate, ShiftConv3x3)
 
 
 class DecoderMemory(NamedTuple):
@@ -136,18 +137,18 @@ class CalibrationDecoding(nn.Module):
         delta = _inter_object_delta(x, obj_valid)
         x = IAGate(self.embed_dim + self.refine_dim, name="IA10")(
             x, jnp.concatenate([head, delta], axis=1))
-        x = nn.Conv(self.embed_dim // 2, (3, 3), padding=1, use_bias=False,
-                    kernel_init=nn.initializers.kaiming_normal(),
-                    name="conv1")(x)
+        x = ShiftConv3x3(self.embed_dim // 2,
+                         kernel_init=nn.initializers.kaiming_normal(),
+                         name="conv1")(x)
         x = GN(num_groups=32, epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
 
         delta = _inter_object_delta(x, obj_valid)
         x = IAGate(self.embed_dim // 2, name="IA11")(
             x, jnp.concatenate([head, delta], axis=1))
-        x = nn.Conv(self.embed_dim // 2, (3, 3), padding=1, use_bias=False,
-                    kernel_init=nn.initializers.kaiming_normal(),
-                    name="conv2")(x)
+        x = ShiftConv3x3(self.embed_dim // 2,
+                         kernel_init=nn.initializers.kaiming_normal(),
+                         name="conv2")(x)
         x = GN(num_groups=32, epsilon=1e-5, name="bn2")(x)
         return nn.relu(x)
 
