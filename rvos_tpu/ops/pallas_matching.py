@@ -63,6 +63,10 @@ def _kernel(q_ref, r_ref, pen_ref, out_ref, *, n_obj: int, mixed: bool):
         qd, rd,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # parity (f32) mode matches the XLA online-min's HIGHEST-precision
+        # Gram trick; mixed mode keeps the single-pass bf16 MXU rate
+        precision=(jax.lax.Precision.DEFAULT if mixed
+                   else jax.lax.Precision.HIGHEST),
     )                                                     # [TM, TR]
     d = q2 + r2.reshape(1, -1) - 2.0 * cross
 
@@ -109,6 +113,8 @@ def _kernel_seg(q_ref, r_ref, bias_ref, out_ref, *, tiles_per_obj: int,
             qd, rd,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.DEFAULT if mixed
+                       else jax.lax.Precision.HIGHEST),
         )                                                 # [TM, ck]
         # filler/invalid rows carry +5e4 — folded into the r² row term
         d = q2 + (r2 + bias_ref[0, s * ck:(s + 1) * ck]).reshape(1, -1) \
