@@ -97,6 +97,21 @@ def main(argv=None):
     frame_transform = (get_perturbation(args.perturb)
                        if args.perturb else None)
 
+    # result dir name embeds mem/unc/resolution settings
+    # (eval_manager_mm.py:85-94); computed before dataset construction so
+    # the YTB dataset can copy first-frame GT into the result tree
+    eval_name = f"{cfg.TEST_DATASET}_{cfg.EXP_NAME}"
+    if cfg.TEST_FLIP:
+        eval_name += "_flip"
+    if len(cfg.TEST_MULTISCALE) > 1:
+        eval_name += "_ms_" + "_".join(str(s) for s in cfg.TEST_MULTISCALE)
+    eval_name += f"_m_{cfg.MEM_EVERY}_u_{cfg.UNC_RATIO}_r_{cfg.TEST_MAX_SIZE}_RPA"
+    if args.perturb:
+        eval_name += f"_p{args.perturb}"
+    out_root = args.out or os.path.join(cfg.result_dirs()["eval"],
+                                        eval_name, "Annotations")
+    os.makedirs(out_root, exist_ok=True)
+
     if args.synthetic:
         cfg = cfg.replace(MODEL_MAX_OBJ_NUM=4, TEST_BANK_CAPACITY=3)
         dataset = SyntheticEval(size=(129, 129),
@@ -112,8 +127,13 @@ def main(argv=None):
         spatial = (65, 65)
     else:
         root = args.ytb_root or cfg.DIR_YTB_EVAL
+        # result_root: copy first-frame GT annotations into the result
+        # tree (datasets_m.py:655-658 — CodaLab zips are invalid without
+        # them); --all_labels is honored for YTB like for DAVIS
         dataset = YTBVOSTest(root, use_all=cfg.TEST_DATASET == "youtubevos",
-                             frame_transform=frame_transform)
+                             frame_transform=frame_transform,
+                             result_root=out_root,
+                             all_labels=args.all_labels)
         spatial = (65, 65)
 
     model, variables = init_model(cfg, jax.random.PRNGKey(0), spatial)
@@ -131,18 +151,6 @@ def main(argv=None):
             print(f"Loaded checkpoint step {step} from {ckpt_dir}")
         except FileNotFoundError as e:
             print(f"WARNING: {e}; evaluating with random weights")
-
-    eval_name = f"{cfg.TEST_DATASET}_{cfg.EXP_NAME}"
-    if cfg.TEST_FLIP:
-        eval_name += "_flip"
-    if len(cfg.TEST_MULTISCALE) > 1:
-        eval_name += "_ms_" + "_".join(str(s) for s in cfg.TEST_MULTISCALE)
-    eval_name += f"_m_{cfg.MEM_EVERY}_u_{cfg.UNC_RATIO}_r_{cfg.TEST_MAX_SIZE}_RPA"
-    if args.perturb:
-        eval_name += f"_p{args.perturb}"
-    out_root = args.out or os.path.join(cfg.result_dirs()["eval"],
-                                        eval_name, "Annotations")
-    os.makedirs(out_root, exist_ok=True)
 
     ev = Evaluator(cfg, model, variables, out_root)
     summary = ev.evaluating(dataset, save_root=out_root)

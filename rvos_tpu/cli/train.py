@@ -79,9 +79,10 @@ def main(argv=None):
 
     cfg = apply_args(get_config(args.config), args)
 
-    rng = np.random.default_rng(0)
-
-    def transform(sample):
+    # (sample, rng) signature: TrainBatcher applies the transform on the
+    # prefetch worker threads with a per-item Generator seeded by
+    # (seed, epoch, index) — thread-safe AND schedule-independent
+    def transform(sample, rng):
         if not args.synthetic:
             sample = random_scale(sample, cfg.DATA_SHORT_EDGE_LEN,
                                   cfg.DATA_MIN_SCALE_FACTOR,

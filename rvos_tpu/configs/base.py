@@ -137,6 +137,9 @@ class Config:
     MATCHING_SEGMENTED_BANK: bool = True   # label-segmented eval bank layout
     #   (per-object tile-aligned quotas -> label-pure reference tiles; the
     #   segmented Pallas kernel then needs one min per tile instead of O)
+    MATCHING_OCCUPANCY_BANK: bool = True   # occupancy-proportional segment
+    #   sizes (tile->object map as data): a dominant object keeps up to the
+    #   whole bank instead of the uniform layout's max_pixels/O cap
     EVAL_COMPUTE_DTYPE: str = "bfloat16"   # eval-time model compute ("float32" for parity)
     TEST_FUSED_POSTPROCESS: bool = True    # on-device argmax/entropy fast path (False: host path)
     MESH_MODEL_AXIS: int = 1               # context-parallel matching shards (query rows)

@@ -72,7 +72,7 @@ class VOSTrain:
         self.curr_len = curr_len
         self.rand_reverse = rand_reverse
         self.seqs = list(imglistdic.keys())
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __len__(self):
         return int(len(self.seqs) * self.repeat_time)
@@ -95,10 +95,11 @@ class VOSTrain:
                 index = 2 * (total_len - 1) - index
         return index
 
-    def _ref_index(self, seqname, lablist, min_fg_pixels=200, max_try=5):
+    def _ref_index(self, rng, seqname, lablist, min_fg_pixels=200,
+                   max_try=5):
         ref_index = 0
         for _ in range(max_try):
-            ref_index = int(self.rng.integers(len(lablist)))
+            ref_index = int(rng.integers(len(lablist)))
             lab = _read_label(os.path.join(self.label_root, seqname,
                                            lablist[ref_index]))
             if np.count_nonzero(lab) > min_fg_pixels:
@@ -106,19 +107,24 @@ class VOSTrain:
         return ref_index
 
     def __getitem__(self, idx):
+        # per-index generator: the dataset is read from PrefetchLoader
+        # worker THREADS — a shared stateful Generator would be both
+        # order-dependent and racy (VERDICT r2 next #6)
+        rng = (np.random.default_rng((self.seed, int(idx)))
+               if self.seed is not None else np.random.default_rng())
         seqname = self.seqs[idx % len(self.seqs)]
         imagelist, lablist = self.imglistdic[seqname]
         frame_num = len(imagelist)
-        if self.rand_reverse and self.rng.integers(2) == 1:
+        if self.rand_reverse and rng.integers(2) == 1:
             imagelist, lablist = imagelist[::-1], lablist[::-1]
 
         sample = None
         for _ in range(5):  # consistency retries (ref :152-182)
-            gaps = [int(self.rng.integers(self.rand_gap) + 1)
+            gaps = [int(rng.integers(self.rand_gap) + 1)
                     for _ in range(self.curr_len)]
             total_gap = sum(gaps)
             search = len(lablist) - total_gap
-            prev_index = int(self.rng.integers(search)) if search > 1 else 0
+            prev_index = int(rng.integers(search)) if search > 1 else 0
             prev_img, prev_lab = self._get_image_label(
                 seqname, imagelist, lablist, prev_index)
 
@@ -132,7 +138,7 @@ class VOSTrain:
                 curr_labs.append(la)
                 objs |= set(np.unique(la))
 
-            ref_index = self._ref_index(seqname, lablist)
+            ref_index = self._ref_index(rng, seqname, lablist)
             ref_img, ref_lab = self._get_image_label(
                 seqname, imagelist, lablist, ref_index)
             ref_objs = set(np.unique(ref_lab))
@@ -212,14 +218,14 @@ class SyntheticTrain:
         self.length = length
         self.transform = transform
         self.obj_num = obj_num
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __len__(self):
         return self.length
 
-    def _frame(self):
+    def _frame(self, rng):
         h, w = self.size
-        img = self.rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
         lab = np.zeros((h, w), np.uint8)
         for o in range(1, self.obj_num + 1):
             y = (h // (self.obj_num + 1)) * o
@@ -227,9 +233,12 @@ class SyntheticTrain:
         return img, lab
 
     def __getitem__(self, idx):
-        ref_img, ref_lab = self._frame()
-        prev_img, prev_lab = self._frame()
-        currs = [self._frame() for _ in range(self.curr_len)]
+        # per-index generator: deterministic regardless of call order,
+        # safe under the threaded PrefetchLoader
+        rng = np.random.default_rng((self.seed, int(idx)))
+        ref_img, ref_lab = self._frame(rng)
+        prev_img, prev_lab = self._frame(rng)
+        currs = [self._frame(rng) for _ in range(self.curr_len)]
         sample = {
             "ref_img": ref_img, "prev_img": prev_img,
             "curr_img": [c[0] for c in currs],
@@ -376,12 +385,14 @@ class YTBVOSTest:
     meta_all.json / the all-frames image dir for 30-fps eval."""
 
     def __init__(self, root, rgb=True, use_all=False, frame_transform=None,
-                 result_root=None, image_type: int = 0, perturb_seed: int = 0):
+                 result_root=None, image_type: int = 0, perturb_seed: int = 0,
+                 all_labels=False):
         if image_type and frame_transform is None:
             # AOT-side image_type dispatch (AOT/eval_datasets.py:133-165)
             from .perturb import get_perturbation
             frame_transform = get_perturbation(
                 image_type, np.random.default_rng(perturb_seed))
+        self.all_labels = all_labels
         self.image_root = os.path.join(root, "JPEGImages")
         self.label_root = os.path.join(root, "Annotations")
         meta_name = "meta_all.json" if use_all and os.path.exists(
@@ -409,7 +420,8 @@ class YTBVOSTest:
             images = [f + ".jpg" for f in sorted(frames)]
         labels = sorted(os.listdir(os.path.join(self.label_root, seq)))
         seq_ds = VOSTestSeq(self.image_root, self.label_root, seq, images,
-                            labels, self.rgb, False, self.frame_transform)
+                            labels, self.rgb, False, self.frame_transform,
+                            all_labels=self.all_labels)
         # copy first-frame GT into result dir (ref :655-658)
         if self.result_root is not None and labels:
             import shutil
@@ -451,7 +463,7 @@ class _SyntheticSeq:
         self.n_frames = n_frames
         self.obj_num = obj_num
         self.frame_transform = frame_transform
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.obj_nums = [obj_num] * n_frames
         self.obj_lists = [list(range(1, obj_num + 1))] * n_frames
         self.images = [f"{i:05d}.jpg" for i in range(n_frames)]
@@ -461,7 +473,8 @@ class _SyntheticSeq:
 
     def __getitem__(self, idx):
         h, w = self.size
-        img = self.rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        rng = np.random.default_rng((self.seed, int(idx)))
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
         if self.frame_transform is not None:
             img = self.frame_transform(img)
         sample = {

@@ -85,6 +85,46 @@ class PrefetchLoader:
                 cond.notify_all()
 
 
+class _TransformedView:
+    """Dataset view applying ``transform`` inside ``__getitem__`` — i.e.
+    on the PREFETCH WORKER threads, so decode AND augmentation overlap
+    device compute (VERDICT r2 next #6: the consumer-thread transform
+    was the train feed's serial bottleneck).
+
+    Randomized transforms take ``(sample, rng)``: each item gets a
+    ``np.random.Generator`` seeded by (seed, epoch, index) — determinism
+    is per-item, independent of worker scheduling (strictly stronger
+    than the previous shared-rng design, which was only reproducible
+    because the transform ran on one thread)."""
+
+    def __init__(self, dataset, transform: Callable, epoch_idx: int,
+                 seed: int):
+        import inspect
+
+        self.dataset = dataset
+        self.transform = transform
+        self.epoch_idx = epoch_idx
+        self.seed = seed
+        try:
+            n_pos = sum(
+                1 for p in inspect.signature(transform).parameters.values()
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
+            self._takes_rng = n_pos >= 2
+        except (TypeError, ValueError):
+            self._takes_rng = False
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i):
+        sample = self.dataset[i]
+        if self._takes_rng:
+            rng = np.random.default_rng(
+                (self.seed, self.epoch_idx, int(i)))
+            return self.transform(sample, rng)
+        return self.transform(sample)
+
+
 class TrainBatcher:
     """Assemble fixed-shape numpy batches for the jitted train step.
 
@@ -97,17 +137,19 @@ class TrainBatcher:
         self.dataset = dataset
         self.batch_size = batch_size
         self.transform = transform
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.num_workers = num_workers
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         order = np.random.default_rng(epoch_idx).permutation(len(self.dataset))
-        loader = PrefetchLoader(self.dataset, order,
+        view = _TransformedView(self.dataset, self.transform, epoch_idx,
+                                self.seed)
+        loader = PrefetchLoader(view, order,
                                 num_workers=self.num_workers,
                                 prefetch=2 * self.batch_size)
         buf = []
         for sample in loader:
-            buf.append(self.transform(sample))
+            buf.append(sample)
             if len(buf) == self.batch_size:
                 yield self._collate(buf)
                 buf = []

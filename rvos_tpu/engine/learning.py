@@ -43,8 +43,14 @@ def lr_schedule(cfg: Config) -> Callable:
     return fn
 
 
-def param_labels(params) -> dict:
+def param_labels(params, freeze_backbone: bool = False) -> dict:
     """'frozen' for FrozenBatchNorm leaves, 'train' for everything else.
+
+    ``freeze_backbone`` (cfg.MODEL_FREEZE_BACKBONE): freeze the whole
+    ``feature_extracter`` subtree — the reference sets
+    ``requires_grad=False`` on every DeepLab parameter
+    (``train_manager_mm.py:36-38``); the semantic embedding stays
+    trainable (it lives outside the extractor there too).
 
     FrozenBatchNorm modules are identified *structurally*: they are the
     only modules carrying ``running_mean``/``running_var`` params
@@ -66,6 +72,8 @@ def param_labels(params) -> dict:
 
     def label_of(path, _):
         keys = tuple(getattr(k, "key", str(k)) for k in path)
+        if freeze_backbone and keys and keys[0] == "feature_extracter":
+            return "frozen"
         return "frozen" if keys[:-1] in frozen_modules else "train"
 
     return jax.tree_util.tree_map_with_path(label_of, params)
@@ -74,7 +82,7 @@ def param_labels(params) -> dict:
 def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     import jax
 
-    labels = param_labels(params)
+    labels = param_labels(params, freeze_backbone=cfg.MODEL_FREEZE_BACKBONE)
     schedule = lr_schedule(cfg)
 
     def wd_mask(p):

@@ -130,7 +130,7 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
         curr_lows = curr_lows.reshape((t_, b_) + curr_lows.shape[1:])
 
         def scan_body(carry, xs):
-            prev_e, prev_l_gt, prev_l_pred, mem = carry
+            prev_e, prev_l_gt, prev_l_pred, mem, _ = carry
             cur_emb, cur_low, cur_lab_full, seg_rng = xs
             if cfg.TRAIN_SEQ_GRADIENT == "detach":
                 prev_e = jax.lax.stop_gradient(prev_e)
@@ -168,11 +168,15 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
             cur_lab_small = _downscale_labels(cur_lab_full, hw)
             iou = batched_iou(pred_full, cur_lab_full, batch["obj_num"], o)
 
-            new_carry = (cur_emb, cur_lab_small, pred_small, new_mem)
+            # full-res pred rides the carry (not the stacked ys) so only
+            # the LAST frame's mask is kept — for TRAIN_IMG_LOG dumps
+            new_carry = (cur_emb, cur_lab_small, pred_small, new_mem,
+                         pred_full.astype(jnp.int32))
             return new_carry, (jnp.mean(losses), iou)
 
         seg_rngs = jax.random.split(jax.random.fold_in(rng, 1), t_len)
-        carry0 = (prev_emb, prev_lab, prev_lab, mem0)
+        carry0 = (prev_emb, prev_lab, prev_lab, mem0,
+                  jnp.zeros((b,) + tuple(full_hw), jnp.int32))
         body = scan_body
         if cfg.TRAIN_REMAT:
             # whole-rollout AD would hold every frame's activations —
@@ -181,23 +185,53 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
             # (jax.checkpoint, SURVEY.md §7 / HBM-bandwidth tradeoff)
             body = jax.checkpoint(
                 scan_body, policy=jax.checkpoint_policies.nothing_saveable)
-        _, (losses, ious) = jax.lax.scan(
+        carry_f, (losses, ious) = jax.lax.scan(
             body, carry0,
             (curr_embs, curr_lows, batch["curr_label"], seg_rngs))
-        return jnp.mean(losses), (losses, ious)
+        return jnp.mean(losses), (losses, ious, carry_f[-1])
 
     def train_step(state: TrainState, batch, rng):
-        (loss, (losses, ious)), grads = jax.value_and_grad(
+        (loss, (losses, ious, last_pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, state.step, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "seq_losses": losses,
                    "iou": jnp.mean(ious),
-                   "grad_norm": optax.global_norm(grads)}
+                   "grad_norm": optax.global_norm(grads),
+                   "pred": last_pred}
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
     train_step.loss_fn = loss_fn   # exposed for profiling / tests
     return train_step
+
+
+def _train_log_images(batch, pred_full: np.ndarray) -> dict:
+    """Assemble the TRAIN_IMG_LOG dump set for batch item 0 — the
+    reference's mask-overlaid ref/prev image, current ground truth and
+    current prediction (``train_manager_mm.py:339-355``)."""
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from ..utils.image import label2colormap, masked_image
+
+    def denorm(img):
+        x = np.asarray(img, np.float32) * IMAGENET_STD + IMAGENET_MEAN
+        return np.clip(x * 255.0, 0, 255)
+
+    def overlay(img_hwc, lab):
+        lab = np.asarray(lab).astype(np.uint8)
+        cm = label2colormap(lab).transpose(2, 0, 1).astype(np.float32)
+        out = masked_image(denorm(img_hwc).transpose(2, 0, 1), cm, lab)
+        return out.transpose(1, 2, 0)
+
+    curr_img = np.asarray(batch["curr_img"])[-1][0]
+    curr_lab = np.asarray(batch["curr_label"])[-1][0]
+    return {
+        "ref_img": overlay(np.asarray(batch["ref_img"])[0],
+                           np.asarray(batch["ref_label"])[0]),
+        "prev_img": overlay(np.asarray(batch["prev_img"])[0],
+                            np.asarray(batch["prev_label"])[0]),
+        "groundtruth": overlay(curr_img, curr_lab),
+        "prediction": overlay(curr_img, pred_full),
+    }
 
 
 class Trainer:
@@ -315,6 +349,9 @@ class Trainer:
                     logger.log(step, {"loss": loss, "iou": iou, "lr": lr,
                                       "grad_norm": float(metrics["grad_norm"]),
                                       "step_time": dt / max(1, log_every)})
+                    if cfg.TRAIN_IMG_LOG:
+                        logger.log_images(step, _train_log_images(
+                            batch, np.asarray(metrics["pred"][0])))
                     t0 = time.time()
                 if save_every and ckpt_dir and step % save_every == 0 and step:
                     from .checkpoint import save_checkpoint

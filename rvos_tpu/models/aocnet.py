@@ -117,6 +117,7 @@ class AOCNet(nn.Module):
         train: bool = False,
         flat_emb: jnp.ndarray = None,   # [P, C] precompacted bank (eval)
         flat_lab: jnp.ndarray = None,   # [P, O]
+        flat_obj: jnp.ndarray = None,   # [n_tiles] occupancy tile→object map
     ) -> Tuple[jnp.ndarray, DecoderMemory]:
         """One frame's matching + calibration decode → logits [O, h4, w4].
 
@@ -142,9 +143,12 @@ class AOCNet(nn.Module):
                       and jax.default_backend() == "tpu")
         use_pallas_local = use_pallas and c.USE_PALLAS_LOCAL
         # context-parallel matching: shard query-pixel rows over the
-        # mesh "model" axis (GSPMD constraint inside the matching ops);
-        # requires the engine to set the ambient mesh (jax.set_mesh)
-        cp_axis = "model" if c.MESH_MODEL_AXIS > 1 else None
+        # mesh "model" axis (GSPMD constraint inside the matching ops).
+        # Gated on the resolved ambient mesh (jax.set_mesh), not cfg
+        # alone — when cp_mesh degrades to a data-only mesh (too few
+        # devices) this must degrade to the unsharded path with it.
+        from ..parallel.mesh import resolved_cp_axis
+        cp_axis = resolved_cp_axis(c)
 
         # masked slots/objects never contribute
         ref_onehot = ref_onehot * obj_valid[None, None, None, :]
@@ -180,7 +184,7 @@ class AOCNet(nn.Module):
         if flat_emb is not None and seg_bank and use_pallas and cp_axis is None:
             global_fg = global_matching_flat_segmented(
                 current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
-                bias, dtype=dtype, mixed=mixed)
+                bias, dtype=dtype, mixed=mixed, tile_obj=flat_obj)
         else:
             global_fg = global_matching_flat(
                 current_emb, flat_emb.astype(dtype), flat_lab.astype(dtype),
@@ -272,10 +276,14 @@ class AOCNet(nn.Module):
 
 
 def precompact_bank(cfg: Config, ref_emb_bank, ref_onehot, slot_valid):
-    """Flatten + fg-ranked compaction of the eval reference bank —
-    the same transform ``segment_frame`` applies inline, hoisted so the
-    evaluator runs it only when the bank (or object set) changes
-    instead of every frame.  Returns (flat_emb [P, C], flat_lab [P, O])."""
+    """Flatten + compaction of the eval reference bank — the same
+    transform ``segment_frame`` applies inline, hoisted so the evaluator
+    runs it only when the bank (or object set) changes instead of every
+    frame.  Returns (flat_emb [P, C], flat_lab [P, O], tile_obj) —
+    ``tile_obj`` is the occupancy layout's tile→object map (None for the
+    uniform-quota / unsegmented layouts)."""
+    from ..ops.matching import compact_reference_bank_occupancy
+
     o = ref_onehot.shape[-1]
     g = cfg.TEST_GLOBAL_ATROUS_RATE
     if g > 1:
@@ -283,14 +291,18 @@ def precompact_bank(cfg: Config, ref_emb_bank, ref_onehot, slot_valid):
         ref_onehot = ref_onehot[:, ::g, ::g]
     flat_emb = ref_emb_bank.reshape(-1, ref_emb_bank.shape[-1])
     flat_lab = (ref_onehot * slot_valid[:, None, None, None]).reshape(-1, o)
+    tile_obj = None
     if cfg.MATCHING_MAX_REF_PIXELS:
-        if cfg.MATCHING_SEGMENTED_BANK:
+        if cfg.MATCHING_SEGMENTED_BANK and cfg.MATCHING_OCCUPANCY_BANK:
+            flat_emb, flat_lab, tile_obj = compact_reference_bank_occupancy(
+                flat_emb, flat_lab, cfg.MATCHING_MAX_REF_PIXELS)
+        elif cfg.MATCHING_SEGMENTED_BANK:
             flat_emb, flat_lab = compact_reference_bank_segmented(
                 flat_emb, flat_lab, cfg.MATCHING_MAX_REF_PIXELS)
         else:
             flat_emb, flat_lab = compact_reference_bank(
                 flat_emb, flat_lab, cfg.MATCHING_MAX_REF_PIXELS)
-    return flat_emb, flat_lab
+    return flat_emb, flat_lab, tile_obj
 
 
 def init_model(cfg: Config, rng: jax.Array, spatial: Tuple[int, int] = (65, 65)):

@@ -133,6 +133,51 @@ def _kernel_seg(q_ref, r_ref, bias_ref, out_ref, *, tiles_per_obj: int,
     out_ref[pl.ds(obj, 1), :] = jnp.minimum(cur, dmin.reshape(1, -1))
 
 
+def _kernel_seg_map(tile_obj_ref, q_ref, r_ref, bias_ref, out_ref, *,
+                    mixed: bool, empty_dist: float):
+    """Occupancy-segmented variant: the tile→object map is DATA (scalar
+    prefetch), so segment sizes can follow per-object occupancy
+    (``matching.compact_reference_bank_occupancy``) instead of equal
+    quotas — a dominant object keeps up to the whole bank.  Same single
+    biased min per label-pure tile as ``_kernel_seg``; the min-update
+    row comes from ``tile_obj_ref[j]``."""
+    j = pl.program_id(1)
+
+    q = q_ref[:].astype(jnp.float32)                      # [TM, C]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)            # [TM, 1]
+    qd = q_ref[:].astype(jnp.bfloat16) if mixed else q_ref[:]
+
+    tr = r_ref.shape[0]
+    ck = min(tr, _CK_SEG)
+    dmin = None
+    for s in range(tr // ck):
+        rc = r_ref[s * ck:(s + 1) * ck, :]
+        r32 = rc.astype(jnp.float32)
+        r2 = jnp.sum(r32 * r32, axis=1)                   # [ck]
+        rd = rc.astype(jnp.bfloat16) if mixed else rc
+        cross = jax.lax.dot_general(
+            qd, rd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.DEFAULT if mixed
+                       else jax.lax.Precision.HIGHEST),
+        )                                                 # [TM, ck]
+        d = q2 + (r2 + bias_ref[0, s * ck:(s + 1) * ck]).reshape(1, -1) \
+            - 2.0 * cross
+        if mixed:
+            d = d.astype(jnp.bfloat16)
+        m = jnp.min(d, axis=1).astype(jnp.float32)        # [TM]
+        dmin = m if dmin is None else jnp.minimum(dmin, m)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.full_like(out_ref, empty_dist)
+
+    obj = tile_obj_ref[j]
+    cur = out_ref[pl.ds(obj, 1), :]
+    out_ref[pl.ds(obj, 1), :] = jnp.minimum(cur, dmin.reshape(1, -1))
+
+
 _TM_SEG = 2048   # query tile — large tiles amortize the ~2 us/grid-step
 _TR_SEG = 1024   # pipeline floor (the kernel is step-overhead-bound, not
 #                  FLOP-bound: 512x512 tiles ran 1632 steps at 2.1 us each)
@@ -192,6 +237,56 @@ def global_matching_pallas_segmented(q: jnp.ndarray, r_emb: jnp.ndarray,
         ),
         interpret=interpret,
     )(qp, rep, biasp)
+    return out[:n_obj, :m].T
+
+
+@functools.partial(jax.jit, static_argnames=("n_obj", "interpret", "mixed"))
+def global_matching_pallas_segmented_mapped(
+        q: jnp.ndarray, r_emb: jnp.ndarray, bias: jnp.ndarray,
+        tile_obj: jnp.ndarray, n_obj: int, interpret: bool = False,
+        mixed: bool = True) -> jnp.ndarray:
+    """Occupancy-segmented matching: ``tile_obj`` [n_tiles] int32 maps
+    each reference tile (of ``P/n_tiles`` rows) to its object channel —
+    data, not layout, so segment sizes follow occupancy.  q: [M, C];
+    r_emb: [P, C]; bias: [P] per-row penalty → [M, n_obj]."""
+    m, c = q.shape
+    p = r_emb.shape[0]
+    n_tiles = tile_obj.shape[0]
+    tr = p // n_tiles
+    if tr * n_tiles != p or tr % 256:
+        raise ValueError(f"bank rows {p} not tile-aligned for {n_tiles} tiles")
+
+    mp = _round_up(m, _TM_SEG)
+    cp = _round_up(c, 128)
+    op = _round_up(n_obj, 8)
+
+    qp = jnp.pad(q, ((0, mp - m), (0, cp - c)))
+    rep = jnp.pad(r_emb, ((0, 0), (0, cp - c)))
+    biasp = bias.astype(jnp.float32).reshape(1, p)
+
+    grid = (mp // _TM_SEG, n_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TM_SEG, cp), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((tr, cp), lambda i, j, *_: (j, 0)),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((op, _TM_SEG), lambda i, j, *_: (0, i)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_seg_map, mixed=mixed,
+                          empty_dist=float(_EMPTY_DIST)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((op, mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * p * cp + 3 * mp * p,
+            bytes_accessed=(mp * cp + p * cp + p + op * mp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tile_obj.astype(jnp.int32), qp, rep, biasp)
     return out[:n_obj, :m].T
 
 

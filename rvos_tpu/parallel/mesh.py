@@ -47,6 +47,29 @@ def cp_mesh(cfg, devices=None) -> Optional[Mesh]:
     return make_mesh(data=data, model=model, devices=devices)
 
 
+def resolved_cp_axis(cfg) -> Optional[str]:
+    """The context-parallel mesh axis name, or None.
+
+    Gates on the *resolved ambient mesh* rather than the config alone:
+    ``cp_mesh`` returns None when there are fewer devices than
+    ``MESH_MODEL_AXIS`` (and engines then fall back to a data-only
+    mesh), so a cfg-only gate would emit
+    ``with_sharding_constraint(P("model"))`` with no ambient mesh and
+    crash every fallback path at trace time.  Here cp_mesh's None
+    genuinely degrades to the unsharded path.
+    """
+    if getattr(cfg, "MESH_MODEL_AXIS", 1) <= 1:
+        return None
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if (m is not None and not m.empty and "model" in m.axis_names
+                and m.shape["model"] > 1):
+            return "model"
+    except Exception:
+        pass
+    return None
+
+
 def ambient_mesh_ctx(mesh: Optional[Mesh]):
     """Context manager making ``mesh`` ambient (``jax.set_mesh``) so the
     bare ``PartitionSpec("model")`` constraints inside the matching ops

@@ -36,6 +36,26 @@ class MetricsLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), int(step))
 
+    def log_images(self, step: int, images: Dict[str, "np.ndarray"]):
+        """Dump training images/masks (the reference's ``TRAIN_IMG_LOG``
+        path, ``train_manager_mm.py:339-385``): each entry is an HWC
+        uint8 array, written to ``<log_dir>/images/<step>_<name>.jpeg``
+        and mirrored to TensorBoard when the writer is active."""
+        import numpy as np
+
+        img_dir = os.path.join(os.path.dirname(self.path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        from PIL import Image
+        for name, arr in images.items():
+            arr = np.asarray(arr)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(img_dir, f"{step:06d}_{name}.jpeg"))
+            if self._tb is not None:
+                self._tb.add_image(name, arr, int(step),
+                                   dataformats="HWC")
+
     def close(self):
         self._fh.close()
         if self._tb is not None:

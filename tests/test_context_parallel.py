@@ -75,3 +75,31 @@ def test_segment_frame_context_parallel_equivalence(rng):
     mesh = make_mesh(data=2, model=4)
     got = run(base.replace(MESH_MODEL_AXIS=4), ambient_mesh_ctx(mesh))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # ADVICE r2 (medium): MESH_MODEL_AXIS>1 with NO ambient mesh (the
+    # cp_mesh-degraded-to-data-only fallback: fewer devices than the
+    # model axis) must run the unsharded path, not crash at trace time.
+    got_fallback = run(base.replace(MESH_MODEL_AXIS=4),
+                       contextlib.nullcontext())
+    np.testing.assert_allclose(got_fallback, want, rtol=1e-5, atol=1e-4)
+
+
+def test_cp_config_degrades_without_mesh():
+    """init_model with MESH_MODEL_AXIS > device count builds and runs
+    (ADVICE r2 medium: reproduced crash on 1 device, axis=4)."""
+    import jax
+    import jax.numpy as jnp
+    from rvos_tpu.configs import tiny_test
+    from rvos_tpu.models import AOCNet
+    from rvos_tpu.models.aocnet import init_model
+    from rvos_tpu.parallel.mesh import cp_mesh
+
+    cfg = tiny_test(MODEL_MULTI_LOCAL_DISTANCE=(1,), MODEL_MAX_OBJ_NUM=2,
+                    MESH_MODEL_AXIS=len(jax.devices()) * 2, USE_PALLAS=False)
+    assert cp_mesh(cfg) is None
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (17, 17))
+    imgs = jnp.zeros((3, 17, 17, 3), jnp.float32)
+    emb, _ = model.apply(variables, imgs, method=AOCNet.extract_feature)
+    labels = jnp.zeros(emb.shape[1:3], jnp.int32)
+    logits = model.apply(variables, imgs, labels, method=AOCNet.full_forward)
+    assert np.isfinite(np.asarray(logits)).all()

