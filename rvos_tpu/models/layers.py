@@ -74,6 +74,93 @@ class ShiftConv3x3(nn.Module):
 
 
 
+class SpaceToDepthConv2(nn.Module):
+    """Stride-2 K×K conv as ⌈K/2⌉² shifted matmuls on a 2×2-packed
+    (space-to-depth) input — param-compatible with
+    ``nn.Conv(features, (K,K), strides=2, padding=K//2)``.
+
+    XLA:TPU lowers batch≤4 stride-2 NHWC convs through space-to-batch
+    bookkeeping; packing 2×2 pixel blocks into channels makes the
+    stride-2 conv a stride-1 ⌈K/2⌉×⌈K/2⌉ conv over [H/2, W/2, 4C],
+    expressed as shifted [M, 4C]×[4C, F] matmuls exactly like
+    ``ShiftConv3x3``.
+
+    Used for the decoder tower's object-batched stride-2 conv
+    (``GNBottleneck`` layer3: batch=O≤4, 256→512ch) where it measured
+    30.21 vs 30.50 ms/frame at 480p eval.  NOT used in the ResNet
+    backbone: the batch-1 stem (c_in=3) and the three stride-2
+    bottlenecks measured *slower* with it (30.77 / 31.35 ms — the
+    packing reshape+transpose and skinnier matmuls cost more than the
+    space-to-batch copies they replace at those shapes; r3 A/B ladder
+    in ROUND_NOTES).
+
+        out[i,j] = Σ_{a,b} y[i+a, j+b] · k2[a,b],
+        y[u,v,(p,q,c)] = x_pad[2u+p, 2v+q, c],
+        k2[a,b,(p,q,c),f] = k[2a+p, 2b+q, c, f]   (zero where ≥ K).
+    """
+    features: int
+    kernel_size: int = 3          # odd
+    kernel_init: Any = nn.initializers.kaiming_normal()
+
+    @nn.compact
+    def __call__(self, x):  # [N, H, W, Cin]
+        k = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, c_in, self.features))
+        n, h, w, _ = x.shape
+        ho, wo = (h + 1) // 2, (w + 1) // 2
+        a_t = (k + 1) // 2
+        pad_l = k // 2
+
+        def pad_r(size, out):
+            # padded length: even, ≥ 2·(out−1) + k from offset pad_l
+            need = 2 * out + k - 2
+            pr = need - size - pad_l
+            if (pad_l + size + pr) % 2:
+                pr += 1
+            return pr
+
+        xp = jnp.pad(x, ((0, 0), (pad_l, pad_r(h, ho)),
+                         (pad_l, pad_r(w, wo)), (0, 0)))
+        hp, wp = xp.shape[1], xp.shape[2]
+        y = xp.reshape(n, hp // 2, 2, wp // 2, 2, c_in)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+        y = y.reshape(n, hp // 2, wp // 2, 4 * c_in)
+
+        kp = jnp.pad(kernel, ((0, 2 * a_t - k), (0, 2 * a_t - k),
+                              (0, 0), (0, 0))).astype(x.dtype)
+        k2 = kp.reshape(a_t, 2, a_t, 2, c_in, self.features)
+        k2 = jnp.transpose(k2, (0, 2, 1, 3, 4, 5))
+        k2 = k2.reshape(a_t, a_t, 4 * c_in, self.features)
+
+        out = None
+        for a in range(a_t):
+            for b in range(a_t):
+                piece = jax.lax.slice(y, (0, a, b, 0),
+                                      (n, a + ho, b + wo, 4 * c_in))
+                term = jnp.einsum("nhwc,cf->nhwf", piece, k2[a, b])
+                out = term if out is None else out + term
+        return out
+
+
+class Conv1x1Stride2(nn.Module):
+    """Stride-2 1×1 conv as slice + matmul — param-compatible with
+    ``nn.Conv(features, (1,1), strides=2)`` (the ResNet downsample
+    shortcuts); avoids the space-to-batch path entirely."""
+    features: int
+    kernel_init: Any = nn.initializers.kaiming_normal()
+
+    @nn.compact
+    def __call__(self, x):  # [N, H, W, Cin]
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, c_in, self.features))
+        xs = x[:, ::2, ::2, :]
+        return jnp.einsum("nhwc,cf->nhwf", xs,
+                          kernel[0, 0].astype(x.dtype))
+
+
 class GN(nn.Module):
     """GroupNorm with a dtype-stable folded-affine apply.
 
@@ -195,11 +282,8 @@ class GNBottleneck(nn.Module):
                                kernel_init=nn.initializers.kaiming_normal(),
                                name="conv2")(out)
         else:
-            out = nn.Conv(planes, (3, 3), strides=(self.stride, self.stride),
-                          kernel_dilation=(self.dilation, self.dilation),
-                          padding=self.dilation, use_bias=False,
-                          kernel_init=nn.initializers.kaiming_normal(),
-                          name="conv2")(out)
+            assert self.dilation == 1, "stride-2 blocks are dilation-1"
+            out = SpaceToDepthConv2(planes, 3, name="conv2")(out)
         out = GN(num_groups=32, name="bn2", epsilon=1e-5)(out)
         out = nn.relu(out)
         out = nn.Conv(self.outplanes, (1, 1), use_bias=False,
@@ -207,11 +291,14 @@ class GNBottleneck(nn.Module):
                       name="conv3")(out)
         out = GN(num_groups=32, name="bn3", epsilon=1e-5)(out)
         if self.stride != 1 or self.inplanes != self.outplanes:
-            residual = nn.Conv(self.outplanes, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False,
-                               kernel_init=nn.initializers.kaiming_normal(),
-                               name="downsample_conv")(x)
+            if self.stride != 1:
+                residual = Conv1x1Stride2(self.outplanes,
+                                          name="downsample_conv")(x)
+            else:
+                residual = nn.Conv(
+                    self.outplanes, (1, 1), use_bias=False,
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="downsample_conv")(x)
             residual = GN(num_groups=32, name="downsample_gn", epsilon=1e-5)(residual)
         return nn.relu(out + residual)
 

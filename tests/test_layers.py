@@ -174,3 +174,39 @@ def test_gn_gct_bf16_fast_path_tolerance(rng):
     fast_g = np.asarray(gct.apply(vg, jnp.asarray(x, jnp.bfloat16))
                         .astype(jnp.float32))
     np.testing.assert_allclose(fast_g, exact_g, atol=0.15, rtol=0.05)
+
+
+def test_space_to_depth_conv2_matches_strided_conv(rng):
+    """SpaceToDepthConv2 (packed shifted matmuls) is param-compatible
+    with nn.Conv(f,(K,K),strides=2,padding=K//2) and numerically
+    equivalent — odd AND even spatial sizes, K=7 (stem) and K=3
+    (stride-2 bottlenecks)."""
+    import flax.linen as nn
+    from rvos_tpu.models.layers import SpaceToDepthConv2
+    for k, (h, w) in [(7, (17, 21)), (7, (16, 20)), (3, (9, 12)),
+                      (3, (10, 11))]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 5)).astype(np.float32))
+        sc = SpaceToDepthConv2(8, k)
+        v = sc.init(jax.random.PRNGKey(0), x)
+        ref = nn.Conv(8, (k, k), strides=(2, 2), padding=k // 2,
+                      use_bias=False)
+        got = sc.apply(v, x)
+        want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert got.shape == want.shape, (k, h, w, got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-5)
+
+
+def test_conv1x1_stride2_matches_strided_conv(rng):
+    import flax.linen as nn
+    from rvos_tpu.models.layers import Conv1x1Stride2
+    for h, w in [(9, 12), (10, 11)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 6)).astype(np.float32))
+        sc = Conv1x1Stride2(8)
+        v = sc.init(jax.random.PRNGKey(0), x)
+        ref = nn.Conv(8, (1, 1), strides=(2, 2), use_bias=False)
+        got = sc.apply(v, x)
+        want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
