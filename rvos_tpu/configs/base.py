@@ -142,6 +142,17 @@ class Config:
     #   whole bank instead of the uniform layout's max_pixels/O cap
     EVAL_COMPUTE_DTYPE: str = "bfloat16"   # eval-time model compute ("float32" for parity)
     TEST_FUSED_POSTPROCESS: bool = True    # on-device argmax/entropy fast path (False: host path)
+    TEST_H2D_GROUP: int = 1                # frames per eval H2D upload (1 = per-frame puts).
+    #   >1 stacks K frames into one uint8 device_put (fewer tunnel
+    #   RPCs) but measured SLOWER end-to-end on a 1-vCPU host: the
+    #   worker must decode+resize K frames before any is consumable,
+    #   and host CPU — not RPC count — is the binding constraint
+    #   (group=1 13.2 fps, group=8 7.8, group=16 3.5; ROUND_NOTES r3)
+    TEST_D2H_GROUP: int = 8                # predicted masks per D2H download: the saver
+    #   thread ships K stacked masks as one transfer (a per-frame
+    #   0.4 MB mask D2H costs ~37 ms of tunnel latency — more than the
+    #   device step — so an unbatched saver falls behind and the
+    #   sequence pays it all again in the drain tail)
     MESH_MODEL_AXIS: int = 1               # context-parallel matching shards (query rows)
     MESH_DATA_AXIS: int = 8                # data-parallel mesh size for training
     CHECKPOINT_DIR: str = ""

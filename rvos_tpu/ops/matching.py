@@ -38,6 +38,7 @@ one-hot labels [..., O] with object channel 0 = background.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -614,11 +615,19 @@ def _local_matching_online_stacked(x, ys, labels, radii, a_max, k,
     (AOC-Net always needs the pixel AND proxy-reconstructed prev frame,
     aocnet.py:253-264/330-337; running them as one scan halves the
     sequential-loop count and doubles the per-step matmul width).
-    Returns [S, h, w, O, n]."""
+
+    The scan batches ``G`` window rows per step (K=25 row shifts → 5
+    steps of 5): the per-step dynamic slices, diagonal-band pad+reshape
+    and min bookkeeping amortize G-fold, and the cross-term matmul gets
+    G× wider on the MXU.  Returns [S, h, w, O, n]."""
     s_n, h, w, c = ys.shape
     o = labels.shape[-1]
     n_r = len(radii)
     order = [radii[-1]] + list(radii[:-1])      # output channel order
+    g_n = int(os.environ.get("LOCAL_MATCH_ROW_GROUP", "5"))
+    g_n = max(1, min(g_n, k))
+    n_steps = -(-k // g_n)
+    kp = n_steps * g_n
 
     x2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
     y2 = jnp.sum(jnp.square(ys.astype(jnp.float32)), axis=-1)         # [S,h,w]
@@ -626,8 +635,15 @@ def _local_matching_online_stacked(x, ys, labels, radii, a_max, k,
     y2_pad = jnp.pad(y2, ((0, 0), (pad_d, pad_d), (pad_d, pad_d)),
                      constant_values=WRONG_LABEL_PADDING_DISTANCE)
     lab_pad = jnp.pad(labels, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)))
+    if kp > k:      # ragged last group: rows beyond k are masked to inf
+        extra = (kp - k) * atrous_rate
+        y_pad = jnp.pad(y_pad, ((0, 0), (0, extra), (0, 0), (0, 0)))
+        y2_pad = jnp.pad(y2_pad, ((0, 0), (0, extra), (0, 0)),
+                         constant_values=WRONG_LABEL_PADDING_DISTANCE)
+        lab_pad = jnp.pad(lab_pad, ((0, extra), (0, 0), (0, 0)))
 
     v = w + 2 * pad_d
+    hg = h + (g_n - 1) * atrous_rate
     # cross terms per scan step run as ONE batched row-band matmul on
     # the MXU ([w,C]x[C,v] per (s,h)) — the former K-fold shifted-copy
     # einsum lowered to a VPU multiply-reduce re-reading S*K*h*w*C
@@ -647,57 +663,78 @@ def _local_matching_online_stacked(x, ys, labels, radii, a_max, k,
     low = x.dtype == jnp.bfloat16
     cube_dt = jnp.bfloat16 if low else jnp.float32
 
-    def row_body(carry, dy_idx):
-        dy = dy_idx * atrous_rate
-        band = jax.lax.dynamic_slice(y_pad, (0, dy, 0, 0), (s_n, h, v, c))
-        band2 = jax.lax.dynamic_slice(y2_pad, (0, dy, 0), (s_n, h, v))
-        lband = jax.lax.dynamic_slice(lab_pad, (dy, 0, 0), (h, v, o))
-        full = jnp.einsum("hwc,shvc->shwv", x, band,
+    def row_body(carry, g_idx):
+        dy0 = g_idx * g_n * atrous_rate
+        band = jax.lax.dynamic_slice(y_pad, (0, dy0, 0, 0),
+                                     (s_n, hg, v, c))
+        band2 = jax.lax.dynamic_slice(y2_pad, (0, dy0, 0), (s_n, hg, v))
+        lband = jax.lax.dynamic_slice(lab_pad, (dy0, 0, 0), (hg, v, o))
+        # the G row shifts inside the group are static slices of the
+        # one dynamic band
+        bands = jnp.stack(
+            [jax.lax.slice_in_dim(band, j * atrous_rate,
+                                  j * atrous_rate + h, axis=1)
+             for j in range(g_n)], axis=1)                  # [S,G,h,v,C]
+        full = jnp.einsum("hwc,sghvc->sghwv", x, bands,
                           preferred_element_type=jnp.float32,
-                          precision=prec)                             # [S,h,w,v]
+                          precision=prec)                   # [S,G,h,w,v]
         full = full.astype(cube_dt)
         # (a take_along_axis diagonal gather measured 4x SLOWER than
         # the whole frame here — TPU lane gathers serialize; the
         # pad+reshape relayout pair is the cheap form of this extract)
-        diag = jnp.pad(full.reshape(s_n, h, w * v),
-                       ((0, 0), (0, 0), (0, w))
-                       ).reshape(s_n, h, w, v + 1)
+        diag = jnp.pad(full.reshape(s_n, g_n, h, w * v),
+                       ((0, 0), (0, 0), (0, 0), (0, w))
+                       ).reshape(s_n, g_n, h, w, v + 1)
         cross = diag[..., 0:(k - 1) * atrous_rate + 1:atrous_rate]
-        cols2 = jnp.stack([jax.lax.slice_in_dim(band2, i * atrous_rate,
-                                                i * atrous_rate + w, axis=2)
-                           for i in range(k)], axis=-1)               # [S,h,w,K]
-        lcols = jnp.stack([jax.lax.slice_in_dim(lband, i * atrous_rate,
-                                                i * atrous_rate + w, axis=1)
-                           for i in range(k)], axis=2)                # [h,w,K,O]
-        d_row = (x2[None, ..., None].astype(cube_dt)
+        band2g = jnp.stack(
+            [jax.lax.slice_in_dim(band2, j * atrous_rate,
+                                  j * atrous_rate + h, axis=1)
+             for j in range(g_n)], axis=1)                  # [S,G,h,v]
+        cols2 = jnp.stack(
+            [jax.lax.slice_in_dim(band2g, i * atrous_rate,
+                                  i * atrous_rate + w, axis=3)
+             for i in range(k)], axis=-1)                   # [S,G,h,w,K]
+        lbandg = jnp.stack(
+            [jax.lax.slice_in_dim(lband, j * atrous_rate,
+                                  j * atrous_rate + h, axis=0)
+             for j in range(g_n)], axis=0)                  # [G,h,v,O]
+        lcols = jnp.stack(
+            [jax.lax.slice_in_dim(lbandg, i * atrous_rate,
+                                  i * atrous_rate + w, axis=2)
+             for i in range(k)], axis=3)                    # [G,h,w,K,O]
+        d_row = (x2[None, None, ..., None].astype(cube_dt)
                  + cols2.astype(cube_dt) - 2.0 * cross)
         dm = jnp.where(lcols[None] > 0.9, d_row[..., None],
                        jnp.asarray(WRONG_LABEL_PADDING_DISTANCE, cube_dt))
-
-        dy_off = jnp.abs(dy_idx - a_max)
+        #                                                   [S,G,h,w,K,O]
+        dy_idx = g_idx * g_n + jnp.arange(g_n)
+        dy_off = jnp.abs(dy_idx - a_max)                    # [G]
         # nested mins: each larger radius extends the previous window
         cands = {}
         cur, lo_p, hi_p = None, None, None
         for r in asc:
             lo, hi = a_max - r, a_max + r + 1
             if cur is None:
-                cur = jnp.min(dm[:, :, :, lo:hi], axis=3)             # [S,h,w,O]
+                cur = jnp.min(dm[:, :, :, :, lo:hi], axis=4)  # [S,G,h,w,O]
             else:
                 if lo < lo_p:
-                    cur = jnp.minimum(cur, jnp.min(dm[:, :, :, lo:lo_p],
-                                                   axis=3))
+                    cur = jnp.minimum(cur, jnp.min(dm[:, :, :, :, lo:lo_p],
+                                                   axis=4))
                 if hi > hi_p:
-                    cur = jnp.minimum(cur, jnp.min(dm[:, :, :, hi_p:hi],
-                                                   axis=3))
+                    cur = jnp.minimum(cur, jnp.min(dm[:, :, :, :, hi_p:hi],
+                                                   axis=4))
             cands[r], lo_p, hi_p = cur, lo, hi
         new = []
         for i, r in enumerate(order):
-            cand = jnp.where(dy_off <= r, cands[r], jnp.inf)
+            # row-radius gate per group member (padded rows beyond k
+            # have dy_off > every radius → inf), then min over the group
+            gate = (dy_off <= r)[None, :, None, None, None]
+            cand = jnp.min(jnp.where(gate, cands[r], jnp.inf), axis=1)
             new.append(jnp.minimum(carry[i], cand))
         return jnp.stack(new), None
 
     init = jnp.full((n_r, s_n, h, w, o), jnp.inf, cube_dt)
-    mins, _ = jax.lax.scan(row_body, init, jnp.arange(k))             # [n,S,h,w,O]
+    mins, _ = jax.lax.scan(row_body, init, jnp.arange(n_steps))  # [n,S,h,w,O]
     return jnp.transpose(mins, (1, 2, 3, 4, 0)).astype(jnp.float32)
 
 

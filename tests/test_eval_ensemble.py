@@ -73,6 +73,35 @@ def test_batched_ensemble_matches_loop_path(tmp_path):
     assert mismatch / total < 0.005, (mismatch, total)
 
 
+def test_grouped_h2d_matches_per_frame():
+    """TEST_H2D_GROUP batches K frames into one uint8 device_put block
+    (tunnel RPC amortization); the eval loop consumes device-side
+    slices, so results must be BIT-identical to per-frame uploads.
+    group=3 over 5 frames also exercises the ragged last group."""
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models.aocnet import init_model
+
+    cfg = tiny_test(
+        DATA_RANDOMCROP=(33, 33),
+        MODEL_MULTI_LOCAL_DISTANCE=(1, 2),
+        MODEL_MAX_OBJ_NUM=3,
+        TEST_MAX_SIZE=None,
+    )
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
+
+    def run(group):
+        ev = Evaluator(cfg.replace(TEST_H2D_GROUP=group), model, variables)
+        ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=5, obj_num=2)
+        return ev.evaluate_sequence(ds[0])["results"]
+
+    per_frame = run(1)
+    grouped = run(3)
+    assert set(per_frame) == set(grouped)
+    for k in per_frame:
+        np.testing.assert_array_equal(np.asarray(per_frame[k]),
+                                      np.asarray(grouped[k]))
+
+
 def test_bce_loss_values(rng):
     from rvos_tpu.engine.loss import hard_mining_bce
     o, h, w = 3, 8, 8

@@ -168,6 +168,33 @@ def test_uncertainty_gate_stores_125(tiny_model):
     assert not (stored2 == UNCERTAIN_LABEL).any()
 
 
+def test_first_frame_without_gt_raises(tiny_model):
+    """Missing first-frame annotation must fail with a clear error, not
+    a flip/downscale crash on None (VERDICT r2 weak #8)."""
+    cfg, model, variables = tiny_model
+    ev = Evaluator(cfg, model, variables)
+    with pytest.raises(ValueError, match="first frame"):
+        ev.evaluate_sequence(_Seq(3, {}))
+
+
+@pytest.mark.slow
+def test_void_255_not_in_label_list(tiny_model):
+    """DAVIS 255-void pixels in the GT must not enter label_all_list
+    (VERDICT r2 weak #8): outputs identical with and without void."""
+    cfg, model, variables = tiny_model
+    gt = _gt_mask(*SIZE)
+    gt_void = gt.copy()
+    gt_void[0:2, 0:2] = 255
+    out_a = Evaluator(cfg, model, variables).evaluate_sequence(
+        _Seq(3, {0: gt}, all_by_idx={0: gt}))
+    ev_b = Evaluator(cfg, model, variables)
+    out_b = ev_b.evaluate_sequence(_Seq(3, {0: gt}, all_by_idx={0: gt_void}))
+    assert 255 not in ev_b._last_label_list
+    for k in out_a["results"]:
+        np.testing.assert_array_equal(out_a["results"][k],
+                                      out_b["results"][k])
+
+
 @pytest.mark.slow
 def test_multiscale_flip_ensemble(tiny_model):
     """Multi-scale + flip: one state per variant, averaged probs, valid

@@ -54,10 +54,9 @@ for name, over in VARIANTS.items():
     obj_valid = jnp.ones((n_obj,))
     exist = jnp.ones((n_obj,))
     ori_hw = (480, 854)
-    keys = [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(64)]
-
+    
     def step(i):
-        out = ev._step_fused(img, st, obj_valid, exist, keys[i], ori_hw)
+        out = ev._step_fused(img, st, obj_valid, exist, i, ori_hw)
         _, pred_small, _, emb2, ms, mv = out
         st.prev_emb = emb2
         st.prev_lab = pred_small

@@ -33,7 +33,7 @@ obj_valid = jnp.ones((n_obj,))
 exist = jnp.ones((n_obj,))
 key = jax.random.PRNGKey(0)
 # trigger jit build same as _step_fused
-out = ev._step_fused(img, st, obj_valid, exist, key, (480, 854))
+out = ev._step_fused(img, st, obj_valid, exist, 0, (480, 854))
 fn = ev._step_jit[("fused", img.shape, (480, 854))] if ("fused", img.shape, (480,854)) in ev._step_jit else None
 if fn is None:
     # find whatever key exists

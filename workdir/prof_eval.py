@@ -45,10 +45,9 @@ st.prev_lab = jnp.asarray(lab)
 obj_valid = jnp.ones((n_obj,))
 exist = jnp.ones((n_obj,))
 ori_hw = (480, 854)
-keys = [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(n_iters + 2)]
 
 def step(i):
-    out = ev._step_fused(img, st, obj_valid, exist, keys[i], ori_hw)
+    out = ev._step_fused(img, st, obj_valid, exist, i, ori_hw)
     pred_u8, pred_small, conf_small, emb2, ms, mv = out
     st.prev_emb = emb2
     st.prev_lab = pred_small

@@ -33,10 +33,9 @@ st.prev_emb = emb
 st.prev_lab = jnp.asarray(lab)
 obj_valid = jnp.ones((n_obj,))
 exist = jnp.ones((n_obj,))
-keys = [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(6)]
 t0 = time.time()
 for i in range(4):
-    out = ev._step_fused(img, st, obj_valid, exist, keys[i], (480, 854))
+    out = ev._step_fused(img, st, obj_valid, exist, i, (480, 854))
     pred_u8, pred_small, conf_small, emb2, ms, mv = out
     st.prev_emb = emb2
     st.prev_lab = pred_small
