@@ -222,8 +222,10 @@ def _e2e_bench(cfg, ev, n_frames: int = 60):
     os.makedirs(save_dir, exist_ok=True)
     seq_ds = VOSTestSeq(img_root, lab_root, seq, names, ["00000.png"],
                         True, False, None)
-    # warm the compile caches with a 3-frame pass, then measure
-    ev.evaluate_sequence(VOSTestSeq(img_root, lab_root, seq, names[:3],
+    # warm the compile caches with an 8-frame pass (covers the K=5
+    # fused chunk graph AND the ragged-tail single-frame graph), then
+    # measure
+    ev.evaluate_sequence(VOSTestSeq(img_root, lab_root, seq, names[:8],
                                     ["00000.png"], True, False, None),
                          save_dir=save_dir)
     out = ev.evaluate_sequence(seq_ds, save_dir=save_dir)

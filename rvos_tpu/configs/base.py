@@ -144,10 +144,13 @@ class Config:
     TEST_FUSED_POSTPROCESS: bool = True    # on-device argmax/entropy fast path (False: host path)
     TEST_H2D_GROUP: int = 1                # frames per eval H2D upload (1 = per-frame puts).
     #   >1 stacks K frames into one uint8 device_put (fewer tunnel
-    #   RPCs) but measured SLOWER end-to-end on a 1-vCPU host: the
-    #   worker must decode+resize K frames before any is consumable,
-    #   and host CPU — not RPC count — is the binding constraint
-    #   (group=1 13.2 fps, group=8 7.8, group=16 3.5; ROUND_NOTES r3)
+    #   RPCs) but adds a K-frame decode latency bubble per worker
+    #   item; on a 1-vCPU host the A/B is within run-to-run noise at
+    #   K=5 and clearly worse at K≥8 (ROUND_NOTES r3) — host CPU, not
+    #   RPC count, binds, so the simpler per-frame default stands
+    TEST_FRAME_CHUNK: int = 5              # fused-eval frames per dispatch (lax.scan chunk);
+    #   chunks always cut at MEM_EVERY boundaries so the reference
+    #   bank is loop-invariant inside a chunk; ≤1 disables
     TEST_D2H_GROUP: int = 8                # predicted masks per D2H download: the saver
     #   thread ships K stacked masks as one transfer (a per-frame
     #   0.4 MB mask D2H costs ~37 ms of tunnel latency — more than the

@@ -391,6 +391,81 @@ class Evaluator:
                 np.int32(frame_idx),
                 state.flat_emb, state.flat_lab, state.flat_obj)
 
+    def _step_fused_chunk(self, imgs, state: _AugState, obj_valid,
+                          exist_mask, frame_idx0, ori_hw):
+        """K consecutive frames in ONE dispatch: a ``lax.scan`` over the
+        fused per-frame step, carrying (prev_emb, prev_lab, decoder
+        memory) — the reference-bank inputs are loop-invariant because
+        the eval loop cuts chunks at memory-update frames (MEM_EVERY
+        boundaries, eval_manager_mm.py:300-304), so within a chunk the
+        bank is constant by construction.  Amortizes the per-call
+        dispatch cost of the hosted chip's tunnel (~11 ms/frame
+        measured) K-fold; the stacked [K, H, W] uint8 predictions also
+        ship as one D2H.  Returns (preds_u8 [K,...], last pred_small,
+        last conf_small, last emb, mem_slots, mem_valid)."""
+        k_n = int(imgs.shape[0])
+        key = (tuple(imgs.shape), tuple(ori_hw), "chunk")
+        if key not in self._step_jit:
+            o = self.cfg.MODEL_MAX_OBJ_NUM
+            unc_ratio = self.unc_ratio
+            cdt = self.compute_dtype
+
+            def fn(v, xs, ref_emb, ref_lab, slot_valid, prev_emb, prev_lab,
+                   ov, em, mem_slots, mem_valid, fidx0, flat_emb, flat_lab,
+                   flat_obj):
+                ref_onehot = jax.nn.one_hot(ref_lab, o, dtype=cdt)
+
+                def body(carry, inp):
+                    p_emb, p_lab, m_slots, m_valid = carry
+                    x, i = inp
+                    k = jax.random.fold_in(jax.random.PRNGKey(42),
+                                           fidx0 + i)
+                    emb, low = self.model.apply(
+                        v, _dev_normalize(x)[None].astype(cdt), True,
+                        method=AOCNet.extract_feature)
+                    emb, low = emb[0], low[0]
+                    h, w = emb.shape[:2]
+                    prev_onehot = jax.nn.one_hot(p_lab, o, dtype=cdt)
+                    logits, new_mem = self.model.apply(
+                        v, emb, low, ref_emb.astype(cdt), ref_onehot,
+                        slot_valid, p_emb.astype(cdt), prev_onehot, ov,
+                        DecoderMemory(m_slots, m_valid), k,
+                        False, flat_emb, flat_lab, flat_obj,
+                        method=AOCNet.segment_frame)
+                    lg = jnp.transpose(logits, (1, 2, 0)).astype(jnp.float32)
+                    lg = resize_hw(lg, ori_hw, "bilinear")
+                    probs = jax.nn.softmax(jnp.transpose(lg, (2, 0, 1)),
+                                           axis=0)
+                    probs = probs * em[:, None, None]
+                    pred = jnp.argmax(probs, axis=0).astype(jnp.int32)
+                    unc = shannon_entropy(probs, em)
+                    conf = jnp.where(unc > unc_ratio, UNCERTAIN_LABEL, pred)
+                    pred_small = resize_hw(pred[..., None], (h, w),
+                                           "nearest")[..., 0]
+                    conf_small = resize_hw(conf[..., None], (h, w),
+                                           "nearest")[..., 0]
+                    return ((emb.astype(cdt), pred_small, new_mem.slots,
+                             new_mem.valid),
+                            (pred.astype(jnp.uint8), conf_small))
+
+                init = (prev_emb.astype(cdt), prev_lab, mem_slots, mem_valid)
+                steps = (xs, jnp.arange(k_n, dtype=jnp.int32))
+                (emb_l, plab_l, ms, mv), (preds, confs) = jax.lax.scan(
+                    body, init, steps)
+                return preds, plab_l, confs[-1], emb_l, ms, mv
+
+            self._step_jit[key] = jax.jit(fn)
+        if state.flat_emb is None:
+            self._ensure_flat(state, np.asarray(obj_valid))
+        from ..parallel.mesh import ambient_mesh_ctx
+        with ambient_mesh_ctx(self._cp_mesh):
+            return self._step_jit[key](
+                self.variables, imgs, state.ref_emb, state.ref_lab,
+                state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
+                exist_mask, state.memory.slots, state.memory.valid,
+                np.int32(frame_idx0),
+                state.flat_emb, state.flat_lab, state.flat_obj)
+
     # -- batched ensemble path (multi-scale / flip) ------------------------
     def _step_ensemble(self, img, states, flips, obj_valid, frame_idx,
                        ori_hw):
@@ -560,27 +635,95 @@ class Evaluator:
         # per-frame np.asarray in the saver PLUS the blanket asarray at
         # drain was two D2H RPCs per frame through the tunnel)
         d2h_group = max(group, int(getattr(cfg, "TEST_D2H_GROUP", 8)))
+        # entries: (names_tuple, device block [K, H, W]) — chunked steps
+        # contribute their stacked predictions as one block
         d2h_batch: List = []
+
+        def d2h_frames():
+            return sum(len(n) for n, _ in d2h_batch)
 
         def flush_d2h():
             if not d2h_batch:
                 return
-            names = [n for n, _ in d2h_batch]
-            stacked = jnp.stack([p for _, p in d2h_batch])
+            singles = [(n, b) for n, b in d2h_batch if len(n) == 1]
+            blocks = [(n, b) for n, b in d2h_batch if len(n) > 1]
             d2h_batch.clear()
+            if singles:   # one stacked transfer for the loose frames
+                blocks.append((tuple(n for (n,), _ in singles),
+                               jnp.concatenate([b for _, b in singles])))
+            for _, b in blocks:   # start the D2H now; the saver's
+                try:              # np.asarray then only finalizes it
+                    b.copy_to_host_async()
+                except Exception:
+                    pass
 
-            def job(names, stacked):
-                block = np.asarray(stacked)
+            def job(blocks):
                 out = {}
-                for i, nm in enumerate(names):
-                    arr = block[i]
-                    if save_dir is not None:
-                        png = os.path.splitext(nm)[0] + ".png"
-                        save_mask(arr, os.path.join(save_dir, png))
-                    out[nm] = arr
+                for names, dev in blocks:
+                    host = np.asarray(dev)
+                    for i, nm in enumerate(names):
+                        arr = host[i]
+                        if save_dir is not None:
+                            png = os.path.splitext(nm)[0] + ".png"
+                            save_mask(arr, os.path.join(save_dir, png))
+                        out[nm] = arr
                 return out
 
-            pending.append(saver.submit(job, names, stacked))
+            pending.append(saver.submit(job, blocks))
+
+        # ---- fused chunking: buffer eligible frames, dispatch K at a
+        # time (one lax.scan call), cutting at MEM_EVERY boundaries so
+        # the reference bank stays loop-invariant inside a chunk
+        chunk_n = 1
+        if self.use_fused:
+            chunk_n = max(1, int(getattr(cfg, "TEST_FRAME_CHUNK", 1)))
+            if self.mem_every > 0:
+                chunk_n = min(chunk_n, self.mem_every)
+        chunk_buf: List = []     # (frame_idx, name, dev_img)
+        chunk_ctx: Dict = {}
+
+        def flush_chunk():
+            if not chunk_buf:
+                return
+            st = states[0]
+            ov_np, em_np = chunk_ctx["ov"], chunk_ctx["em"]
+            o_hw = chunk_ctx["ori_hw"]
+            t0 = time.time()
+            self._ensure_flat(st, ov_np)
+            t1 = time.time()
+            timing["flat"] += t1 - t0
+            if len(chunk_buf) == chunk_n and chunk_n > 1:
+                imgs = jnp.stack([im for _, _, im in chunk_buf])
+                preds, plab, conf, emb, ms, mv = self._step_fused_chunk(
+                    imgs, st, dev_vec(ov_np), dev_vec(em_np),
+                    chunk_buf[0][0], o_hw)
+                st.memory = DecoderMemory(ms, mv)
+                st.prev_emb = emb
+                st.prev_lab = plab
+                f_last = chunk_buf[-1][0]
+                if self.mem_every > -1 and f_last % self.mem_every == 0:
+                    st.add_ref(emb, conf)
+                d2h_batch.append((tuple(n for _, n, _ in chunk_buf), preds))
+            else:
+                # ragged chunk (sequence tail / early cut): per-frame
+                # steps on the single-frame graph — a tail-length scan
+                # would be a fresh compile per distinct K
+                for f, nm, im in chunk_buf:
+                    (pred_u8, pred_small, conf_small, emb, ms, mv) = \
+                        self._step_fused(im, st, dev_vec(ov_np),
+                                         dev_vec(em_np), f, o_hw)
+                    st.memory = DecoderMemory(ms, mv)
+                    st.prev_emb = emb
+                    st.prev_lab = pred_small
+                    if self.mem_every > -1 and f % self.mem_every == 0:
+                        st.add_ref(emb, conf_small)
+                    d2h_batch.append(((nm,), pred_u8[None]))
+            timing["step_dispatch"] += time.time() - t1
+            chunk_buf.clear()
+            if d2h_frames() >= d2h_group:
+                t0 = time.time()
+                flush_d2h()
+                timing["flush"] += time.time() - t0
 
         for frame_idx, sample in enumerate(loader):
             t_start = time.time()
@@ -619,34 +762,32 @@ class Evaluator:
             join_label = current_label_full if (
                 frame_idx > 0 and current_label_full is not None) else None
 
-            # fused single-variant fast path: postprocess stays on device
+            # fused single-variant fast path: postprocess stays on
+            # device; frames buffer into MEM_EVERY-aligned chunks and
+            # dispatch as one lax.scan call (_step_fused_chunk)
             if (self.use_fused and frame_idx > 0 and len(variants) == 1
                     and join_label is None and not variants[0]["flip"]):
-                st = states[0]
                 img = _var_dev(variants[0])
-                t0 = time.time()
-                self._ensure_flat(st, obj_valid_np)
-                t1 = time.time()
-                timing["flat"] += t1 - t0
-                (pred_u8, pred_small, conf_small, emb, ms, mv) = \
-                    self._step_fused(img, st, obj_valid,
-                                     dev_vec(exist_mask), frame_idx,
-                                     (ori_h, ori_w))
-                timing["step_dispatch"] += time.time() - t1
-                st.memory = DecoderMemory(ms, mv)
-                st.prev_emb = emb
-                st.prev_lab = pred_small
-                if self.mem_every > -1 and frame_idx % self.mem_every == 0:
-                    st.add_ref(emb, conf_small)
-                # keep the mask on device; the saver thread performs the
-                # batched D2H + PNG writes while the next frames compute
+                if chunk_buf and (
+                        chunk_ctx["shape"] != tuple(img.shape)
+                        or chunk_ctx["ori_hw"] != (ori_h, ori_w)
+                        or not np.array_equal(chunk_ctx["ov"], obj_valid_np)
+                        or not np.array_equal(chunk_ctx["em"], exist_mask)):
+                    flush_chunk()
+                if not chunk_buf:
+                    chunk_ctx.update(ov=obj_valid_np, em=exist_mask,
+                                     ori_hw=(ori_h, ori_w),
+                                     shape=tuple(img.shape))
+                chunk_buf.append((frame_idx, meta["current_name"], img))
                 seq_frames += 1
-                d2h_batch.append((meta["current_name"], pred_u8))
-                if len(d2h_batch) >= d2h_group:
-                    t0 = time.time()
-                    flush_d2h()
-                    timing["flush"] += time.time() - t0
+                if (len(chunk_buf) >= chunk_n
+                        or (self.mem_every > -1
+                            and frame_idx % self.mem_every == 0)):
+                    flush_chunk()
                 continue
+
+            # any buffered fused frames precede this non-fused frame
+            flush_chunk()
 
             # batched ensemble fast path: variants grouped by shape, one
             # jitted step per group (backbone batched over the group),
@@ -690,8 +831,8 @@ class Evaluator:
                     if update_mem:
                         st.add_ref(st.prev_emb, cs)
                 seq_frames += 1
-                d2h_batch.append((meta["current_name"], pred_u8))
-                if len(d2h_batch) >= d2h_group:
+                d2h_batch.append(((meta["current_name"],), pred_u8[None]))
+                if d2h_frames() >= d2h_group:
                     flush_d2h()
                 if verbose:
                     print(f"Frame {meta['current_name']} obj={obj_num} "
@@ -779,6 +920,7 @@ class Evaluator:
         # drain async transfers/writes so FPS reflects completed
         # frames (device compute + D2H + PNG writes), not dispatches
         t0 = time.time()
+        flush_chunk()
         flush_d2h()
         for f in pending:
             out = f.result()

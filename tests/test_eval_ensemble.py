@@ -102,6 +102,46 @@ def test_grouped_h2d_matches_per_frame():
                                       np.asarray(grouped[k]))
 
 
+@pytest.mark.slow
+def test_chunked_fused_matches_per_frame():
+    """TEST_FRAME_CHUNK batches K fused frames into one lax.scan
+    dispatch, cutting chunks at MEM_EVERY boundaries (bank
+    loop-invariant inside a chunk).  Against the per-frame path the
+    carried state and outputs must agree; the scan body may fuse
+    differently than the standalone graph, so allow near-tie argmax
+    flips on a sliver of pixels.  8 frames with MEM_EVERY=3 and
+    chunk=3 exercises steady chunks, the mem-update cut, AND the
+    ragged tail."""
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models.aocnet import init_model
+
+    cfg = tiny_test(
+        DATA_RANDOMCROP=(33, 33),
+        MODEL_MULTI_LOCAL_DISTANCE=(1, 2),
+        MODEL_MAX_OBJ_NUM=3,
+        TEST_MAX_SIZE=None,
+        MEM_EVERY=3,
+    )
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
+
+    def run(chunk):
+        ev = Evaluator(cfg.replace(TEST_FRAME_CHUNK=chunk),
+                       model, variables)
+        ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=8, obj_num=2)
+        return ev.evaluate_sequence(ds[0])["results"]
+
+    per_frame = run(1)
+    chunked = run(3)
+    assert set(per_frame) == set(chunked)
+    total = mismatch = 0
+    for k in per_frame:
+        a, b = np.asarray(per_frame[k]), np.asarray(chunked[k])
+        assert a.shape == b.shape
+        total += a.size
+        mismatch += int((a != b).sum())
+    assert mismatch / total < 0.005, (mismatch, total)
+
+
 def test_bce_loss_values(rng):
     from rvos_tpu.engine.loss import hard_mining_bce
     o, h, w = 3, 8, 8
