@@ -83,19 +83,23 @@ def main(argv=None):
     # prefetch worker threads with a per-item Generator seeded by
     # (seed, epoch, index) — thread-safe AND schedule-independent
     def transform(sample, rng):
-        if not args.synthetic:
-            sample = random_scale(sample, cfg.DATA_SHORT_EDGE_LEN,
-                                  cfg.DATA_MIN_SCALE_FACTOR,
-                                  cfg.DATA_MAX_SCALE_FACTOR, rng)
-            sample = balanced_random_crop(
-                sample, cfg.DATA_RANDOMCROP, rng, cfg.DATA_MAX_CROP_STEPS,
-                cfg.DATA_MAX_OBJ_NUM, cfg.DATA_MIN_OBJ_PIXEL_NUM)
-            sample = random_hflip(sample, cfg.DATA_RANDOMFLIP, rng)
-        out = dict(sample)
-        out["ref_img"] = normalize(sample["ref_img"])
-        out["prev_img"] = normalize(sample["prev_img"])
-        out["curr_img"] = [normalize(x) for x in sample["curr_img"]]
-        return out
+        if args.synthetic:
+            # synthetic samples are float; normalize on host (legacy)
+            out = dict(sample)
+            out["ref_img"] = normalize(sample["ref_img"])
+            out["prev_img"] = normalize(sample["prev_img"])
+            out["curr_img"] = [normalize(x) for x in sample["curr_img"]]
+            return out
+        # real datasets decode uint8 and stay uint8 through the whole
+        # host aug chain (u8 cv2 resizes ~6x faster, 4x smaller
+        # collate/H2D); the train step normalizes in-graph
+        sample = random_scale(sample, cfg.DATA_SHORT_EDGE_LEN,
+                              cfg.DATA_MIN_SCALE_FACTOR,
+                              cfg.DATA_MAX_SCALE_FACTOR, rng)
+        sample = balanced_random_crop(
+            sample, cfg.DATA_RANDOMCROP, rng, cfg.DATA_MAX_CROP_STEPS,
+            cfg.DATA_MAX_OBJ_NUM, cfg.DATA_MIN_OBJ_PIXEL_NUM)
+        return dict(random_hflip(sample, cfg.DATA_RANDOMFLIP, rng))
 
     datasets = []
     if args.synthetic:
@@ -106,6 +110,7 @@ def main(argv=None):
             if name == "davis2017":
                 datasets.append(DAVISTrain(
                     cfg.DIR_DAVIS, transform=None,
+                    image_dtype=np.uint8,
                     full_resolution=cfg.TRAIN_DATASET_FULL_RESOLUTION,
                     repeat_time=cfg.DATA_DAVIS_REPEAT,
                     rand_gap=cfg.DATA_RANDOM_GAP_DAVIS,
@@ -114,6 +119,7 @@ def main(argv=None):
             elif name == "youtubevos":
                 datasets.append(YTBVOSTrain(
                     cfg.DIR_YTB, transform=None,
+                    image_dtype=np.uint8,
                     rand_gap=cfg.DATA_RANDOM_GAP_YTB,
                     curr_len=cfg.DATA_CURR_SEQ_LEN,
                     rand_reverse=cfg.DATA_RANDOM_REVERSE_SEQ))

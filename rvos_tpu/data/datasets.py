@@ -66,12 +66,16 @@ def _read_label(path: str) -> np.ndarray:
 class VOSTrain:
     def __init__(self, image_root, label_root, imglistdic, transform=None,
                  rgb=True, repeat_time=1, rand_gap=3, curr_len=3,
-                 rand_reverse=True, seed=None):
+                 rand_reverse=True, seed=None, image_dtype=np.float32):
         self.image_root = image_root
         self.label_root = label_root
         self.imglistdic = imglistdic
         self.transform = transform
         self.rgb = rgb
+        # uint8 keeps the whole host aug chain in fixed-point (cv2 u8
+        # cubic resize ~6x faster, 4x smaller collate/H2D); the train
+        # step normalizes in-graph when it sees uint8 inputs
+        self.image_dtype = image_dtype
         self.repeat_time = repeat_time
         self.rand_gap = rand_gap
         self.curr_len = curr_len
@@ -84,7 +88,8 @@ class VOSTrain:
 
     def _get_image_label(self, seqname, imagelist, lablist, index):
         image = _read_image(os.path.join(self.image_root, seqname,
-                                         imagelist[index]), self.rgb)
+                                         imagelist[index]), self.rgb,
+                            dtype=self.image_dtype)
         label = _read_label(os.path.join(self.label_root, seqname,
                                          lablist[index]))
         return image, label
@@ -171,7 +176,8 @@ class VOSTrain:
 class DAVISTrain(VOSTrain):
     def __init__(self, root, split=("train",), transform=None,
                  full_resolution=False, repeat_time=30, rand_gap=3,
-                 curr_len=3, rand_reverse=True, rgb=True, seed=None):
+                 curr_len=3, rand_reverse=True, rgb=True, seed=None,
+                 image_dtype=np.float32):
         resolution = "Full-Resolution" if full_resolution else "480p"
         image_root = os.path.join(root, "JPEGImages", resolution)
         label_root = os.path.join(root, "Annotations", resolution)
@@ -186,12 +192,14 @@ class DAVISTrain(VOSTrain):
             labels = sorted(os.listdir(os.path.join(label_root, seq)))
             imglistdic[seq] = (images, labels)
         super().__init__(image_root, label_root, imglistdic, transform, rgb,
-                         repeat_time, rand_gap, curr_len, rand_reverse, seed)
+                         repeat_time, rand_gap, curr_len, rand_reverse, seed,
+                         image_dtype)
 
 
 class YTBVOSTrain(VOSTrain):
     def __init__(self, root, transform=None, rand_gap=3, curr_len=3,
-                 rand_reverse=True, rgb=True, seed=None):
+                 rand_reverse=True, rgb=True, seed=None,
+                 image_dtype=np.float32):
         image_root = os.path.join(root, "JPEGImages")
         label_root = os.path.join(root, "Annotations")
         with open(os.path.join(root, "meta.json")) as f:
@@ -209,7 +217,8 @@ class YTBVOSTrain(VOSTrain):
             imglistdic[seq] = ([f + ".jpg" for f in frames],
                                [f + ".png" for f in frames])
         super().__init__(image_root, label_root, imglistdic, transform, rgb,
-                         1, rand_gap, curr_len, rand_reverse, seed)
+                         1, rand_gap, curr_len, rand_reverse, seed,
+                         image_dtype)
 
 
 class SyntheticTrain:

@@ -57,6 +57,18 @@ def _downscale_labels(labels, hw):
     return jax.vmap(one)(labels)
 
 
+def _maybe_normalize(imgs):
+    """In-graph ImageNet normalize for raw uint8 batches (ref ToTensor,
+    custom_transforms.py:352-385).  The uint8 host feed skips the host
+    normalize pass and ships 4x less over the tunnel; float inputs are
+    assumed already normalized (legacy path, numerically identical)."""
+    if imgs.dtype != jnp.uint8:
+        return imgs
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    x = imgs.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 def make_train_step(cfg: Config, model: AOCNet, tx):
     """Build the jitted train step: (state, batch, rng) → (state, metrics).
 
@@ -85,6 +97,7 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
                     else jnp.float32)
 
         def extract(imgs, drop_rng):
+            imgs = _maybe_normalize(imgs)
             emb, low = model.apply(variables, imgs.astype(in_dtype), False,
                                    rngs={"dropout": drop_rng},
                                    method=AOCNet.extract_feature)
@@ -213,6 +226,8 @@ def _train_log_images(batch, pred_full: np.ndarray) -> dict:
     from ..utils.image import label2colormap, masked_image
 
     def denorm(img):
+        if np.asarray(img).dtype == np.uint8:    # raw uint8 feed
+            return np.asarray(img, np.float32)
         x = np.asarray(img, np.float32) * IMAGENET_STD + IMAGENET_MEAN
         return np.clip(x * 255.0, 0, 255)
 

@@ -80,6 +80,43 @@ def test_train_step_updates_params(tmp_path):
 
 
 @pytest.mark.slow
+def test_uint8_batch_matches_host_normalized():
+    """The uint8 train feed (raw u8 batch, in-graph normalize) must
+    compute the same loss as the legacy host-normalized f32 batch —
+    `_maybe_normalize` is the same arithmetic the host `normalize`
+    runs, so the loss matches to float tolerance."""
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg, init_spatial=(33, 33))
+    ds = SyntheticTrain(size=(33, 33), curr_len=cfg.DATA_CURR_SEQ_LEN,
+                        length=4, obj_num=2)
+
+    def to_u8(x):
+        return np.clip(x, 0, 255).astype(np.uint8)
+
+    def u8_transform(sample):
+        out = dict(sample)
+        out["ref_img"] = to_u8(sample["ref_img"])
+        out["prev_img"] = to_u8(sample["prev_img"])
+        out["curr_img"] = [to_u8(x) for x in sample["curr_img"]]
+        return out
+
+    def f32_transform(sample):   # same u8 pixels, host-normalized
+        out = dict(sample)
+        out["ref_img"] = normalize(to_u8(sample["ref_img"]))
+        out["prev_img"] = normalize(to_u8(sample["prev_img"]))
+        out["curr_img"] = [normalize(to_u8(x)) for x in sample["curr_img"]]
+        return out
+
+    b_f32 = next(TrainBatcher(ds, 1, f32_transform, num_workers=1).epoch(0))
+    b_u8 = next(TrainBatcher(ds, 1, u8_transform, num_workers=1).epoch(0))
+    m_f32 = trainer.train_step(b_f32, jax.random.PRNGKey(0))
+    trainer2 = Trainer(cfg, init_spatial=(33, 33))
+    m_u8 = trainer2.train_step(b_u8, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m_f32["loss"]), float(m_u8["loss"]),
+                               rtol=2e-5)
+
+
+@pytest.mark.slow
 def test_streaming_eval_synthetic(tmp_path):
     from rvos_tpu.engine.eval import Evaluator
     from rvos_tpu.models.aocnet import init_model
