@@ -414,21 +414,28 @@ class Evaluator:
                    ov, em, mem_slots, mem_valid, fidx0, flat_emb, flat_lab,
                    flat_obj):
                 ref_onehot = jax.nn.one_hot(ref_lab, o, dtype=cdt)
+                # the backbone has no temporal recurrence: extract all
+                # K frames as ONE batch-K conv pass before the scan
+                # (same trick as the train rollout, train.py:121-130) —
+                # only matching/decode carries state.  The prev-frame
+                # embedding sequence is just the shifted feature stack.
+                xn = _dev_normalize(xs).astype(cdt)
+                embs, lows = self.model.apply(
+                    v, xn, True, method=AOCNet.extract_feature)
+                embs = embs.astype(cdt)
+                prev_embs = jnp.concatenate(
+                    [prev_emb.astype(cdt)[None], embs[:-1]], axis=0)
 
                 def body(carry, inp):
-                    p_emb, p_lab, m_slots, m_valid = carry
-                    x, i = inp
+                    p_lab, m_slots, m_valid = carry
+                    emb, low, p_emb, i = inp
                     k = jax.random.fold_in(jax.random.PRNGKey(42),
                                            fidx0 + i)
-                    emb, low = self.model.apply(
-                        v, _dev_normalize(x)[None].astype(cdt), True,
-                        method=AOCNet.extract_feature)
-                    emb, low = emb[0], low[0]
                     h, w = emb.shape[:2]
                     prev_onehot = jax.nn.one_hot(p_lab, o, dtype=cdt)
                     logits, new_mem = self.model.apply(
                         v, emb, low, ref_emb.astype(cdt), ref_onehot,
-                        slot_valid, p_emb.astype(cdt), prev_onehot, ov,
+                        slot_valid, p_emb, prev_onehot, ov,
                         DecoderMemory(m_slots, m_valid), k,
                         False, flat_emb, flat_lab, flat_obj,
                         method=AOCNet.segment_frame)
@@ -444,15 +451,15 @@ class Evaluator:
                                            "nearest")[..., 0]
                     conf_small = resize_hw(conf[..., None], (h, w),
                                            "nearest")[..., 0]
-                    return ((emb.astype(cdt), pred_small, new_mem.slots,
-                             new_mem.valid),
+                    return ((pred_small, new_mem.slots, new_mem.valid),
                             (pred.astype(jnp.uint8), conf_small))
 
-                init = (prev_emb.astype(cdt), prev_lab, mem_slots, mem_valid)
-                steps = (xs, jnp.arange(k_n, dtype=jnp.int32))
-                (emb_l, plab_l, ms, mv), (preds, confs) = jax.lax.scan(
+                init = (prev_lab, mem_slots, mem_valid)
+                steps = (embs, lows, prev_embs,
+                         jnp.arange(k_n, dtype=jnp.int32))
+                (plab_l, ms, mv), (preds, confs) = jax.lax.scan(
                     body, init, steps)
-                return preds, plab_l, confs[-1], emb_l, ms, mv
+                return preds, plab_l, confs[-1], embs[-1], ms, mv
 
             self._step_jit[key] = jax.jit(fn)
         if state.flat_emb is None:
