@@ -534,6 +534,161 @@ class Evaluator:
             return self._step_jit[key](self.variables, img, sts, obj_valid,
                                        np.int32(frame_idx))
 
+    def _step_ensemble_chunk(self, imgs_by_group, states_by_group,
+                             flips_by_group, obj_valid, exist_mask,
+                             frame_idx0, ori_hw):
+        """K consecutive ensemble frames in ONE dispatch.  Per scale
+        group the backbone runs as one batch-(n_flip*K) conv pass
+        (flip twins materialized on device); a single ``lax.scan`` over
+        the K frames then does per-variant matching/decode, the
+        cross-variant probability sum, the fused mean/argmax/entropy
+        postprocess AND the per-variant downscaled carries — collapsing
+        the per-frame ensemble's ~(groups + 1 + 2*variants) dispatches
+        (~10 for the reference MF config) into 1/K per frame.  Chunks
+        cut at MEM_EVERY boundaries exactly like ``_step_fused_chunk``,
+        so the banks are loop-invariant inside a chunk.
+
+        ``imgs_by_group``: per scale group, the UNFLIPPED [K, H, W, 3]
+        uint8 frame stack.  Returns (preds_u8 [K, ori], updates) where
+        updates[g][j] carries each variant's last (emb, pred_small,
+        conf_small, mem_slots, mem_valid)."""
+        k_n = int(imgs_by_group[0].shape[0])
+        flips_sig = tuple(tuple(f) for f in flips_by_group)
+        key = (tuple(tuple(x.shape) for x in imgs_by_group), flips_sig,
+               tuple(ori_hw), "ens_chunk")
+        if key not in self._step_jit:
+            o = self.cfg.MODEL_MAX_OBJ_NUM
+            unc_ratio = self.unc_ratio
+            cdt = self.compute_dtype
+            n_var = sum(len(f) for f in flips_sig)
+
+            def fn(v, xs_list, sts, ov, em, fidx0):
+                # per group: one batched extract over (n_flip*K) frames
+                feats = []            # [(embs, lows, prev_embs)] per grp
+                for g, xs in enumerate(xs_list):
+                    flips = flips_sig[g]
+                    xn = _dev_normalize(xs).astype(cdt)        # [K,H,W,3]
+                    stack = jnp.concatenate(
+                        [xn[:, :, ::-1] if f else xn for f in flips])
+                    embs, lows = self.model.apply(
+                        v, stack, True, method=AOCNet.extract_feature)
+                    embs = embs.astype(cdt)
+                    n_f = len(flips)
+                    embs = embs.reshape((n_f, k_n) + embs.shape[1:])
+                    lows = lows.reshape((n_f, k_n) + lows.shape[1:])
+                    prev0 = jnp.stack(
+                        [sts[g][j]["prev_emb"].astype(cdt)
+                         for j in range(n_f)])                 # [n_f,...]
+                    prev_embs = jnp.concatenate(
+                        [prev0[:, None], embs[:, :-1]], axis=1)
+                    feats.append((embs, lows, prev_embs))
+
+                def body(carry, k_idx):
+                    labs, mems = carry    # per (g, j): prev_lab / mem
+                    k = jax.random.fold_in(jax.random.PRNGKey(42),
+                                           fidx0 + k_idx)
+                    probs_sum = None
+                    new_labs, new_mems = [], []
+                    for g, (embs, lows, prev_embs) in enumerate(feats):
+                        flips = flips_sig[g]
+                        g_mems = []
+                        for j in range(len(flips)):
+                            st = sts[g][j]
+                            emb = embs[j, k_idx]
+                            low = lows[j, k_idx]
+                            p_emb = prev_embs[j, k_idx]
+                            p_lab = labs[g][j]
+                            m_slots, m_valid = mems[g][j]
+                            ref_onehot = jax.nn.one_hot(
+                                st["ref_lab"], o, dtype=cdt)
+                            prev_onehot = jax.nn.one_hot(p_lab, o,
+                                                         dtype=cdt)
+                            logits, new_mem = self.model.apply(
+                                v, emb, low, st["ref_emb"].astype(cdt),
+                                ref_onehot, st["slot_valid"], p_emb,
+                                prev_onehot, ov,
+                                DecoderMemory(m_slots, m_valid), k,
+                                False, st["flat_emb"], st["flat_lab"],
+                                st["flat_obj"],
+                                method=AOCNet.segment_frame)
+                            lg = jnp.transpose(logits, (1, 2, 0)).astype(
+                                jnp.float32)
+                            lg = resize_hw(lg, ori_hw, "bilinear")
+                            p = jax.nn.softmax(
+                                jnp.transpose(lg, (2, 0, 1)), axis=0)
+                            if flips[j]:
+                                p = p[:, :, ::-1]
+                            probs_sum = (p if probs_sum is None
+                                         else probs_sum + p)
+                            g_mems.append((new_mem.slots, new_mem.valid))
+                        new_mems.append(g_mems)
+                    # fused ensemble postprocess (the _post_ensemble
+                    # graph, inlined)
+                    probs = (probs_sum / float(n_var)) * em[:, None, None]
+                    pred = jnp.argmax(probs, axis=0).astype(jnp.int32)
+                    unc = shannon_entropy(probs, em)
+                    conf = jnp.where(unc > unc_ratio, UNCERTAIN_LABEL,
+                                     pred)
+                    # per-variant downscaled carries (the _downscale_pair
+                    # graphs, inlined — each variant sees the ensemble
+                    # prediction at its own resolution/orientation)
+                    confs_small = []
+                    for g, (embs, _, _) in enumerate(feats):
+                        flips = flips_sig[g]
+                        hw = (embs.shape[2], embs.shape[3])
+                        g_labs, g_confs = [], []
+                        for j in range(len(flips)):
+                            p2, c2 = (pred, conf)
+                            if flips[j]:
+                                p2, c2 = p2[:, ::-1], c2[:, ::-1]
+                            ps = resize_hw(p2[..., None], hw,
+                                           "nearest")[..., 0]
+                            cs = resize_hw(c2[..., None], hw,
+                                           "nearest")[..., 0]
+                            g_labs.append(ps)
+                            g_confs.append(cs)
+                        new_labs.append(g_labs)
+                        confs_small.append(g_confs)
+                    return ((new_labs, new_mems),
+                            (pred.astype(jnp.uint8), confs_small))
+
+                init_labs = [[sts[g][j]["prev_lab"]
+                              for j in range(len(flips_sig[g]))]
+                             for g in range(len(xs_list))]
+                init_mems = [[(sts[g][j]["mem_slots"],
+                               sts[g][j]["mem_valid"])
+                              for j in range(len(flips_sig[g]))]
+                             for g in range(len(xs_list))]
+                (labs_l, mems_l), (preds, confs) = jax.lax.scan(
+                    body, (init_labs, init_mems),
+                    jnp.arange(k_n, dtype=jnp.int32))
+                updates = []
+                for g, (embs, _, _) in enumerate(feats):
+                    g_upd = []
+                    for j in range(len(flips_sig[g])):
+                        g_upd.append({
+                            "emb": embs[j, -1],
+                            "pred_small": labs_l[g][j],
+                            "conf_small": confs[g][j][-1],
+                            "mem_slots": mems_l[g][j][0],
+                            "mem_valid": mems_l[g][j][1],
+                        })
+                    updates.append(g_upd)
+                return preds, updates
+
+            self._step_jit[key] = jax.jit(fn)
+        sts = [[{"ref_emb": s.ref_emb, "ref_lab": s.ref_lab,
+                 "slot_valid": s.slot_valid, "prev_emb": s.prev_emb,
+                 "prev_lab": s.prev_lab, "mem_slots": s.memory.slots,
+                 "mem_valid": s.memory.valid, "flat_emb": s.flat_emb,
+                 "flat_lab": s.flat_lab, "flat_obj": s.flat_obj}
+                for s in grp] for grp in states_by_group]
+        from ..parallel.mesh import ambient_mesh_ctx
+        with ambient_mesh_ctx(self._cp_mesh):
+            return self._step_jit[key](
+                self.variables, list(imgs_by_group), sts, obj_valid,
+                exist_mask, np.int32(frame_idx0))
+
     def _post_ensemble(self, probs_sum, n_var, exist_mask):
         """Fused device postprocess of the ensemble sum: mean → existing-
         label mask → argmax + Shannon-entropy confident mask."""
@@ -732,6 +887,92 @@ class Evaluator:
                 flush_d2h()
                 timing["flush"] += time.time() - t0
 
+        # ---- ensemble chunking: same MEM_EVERY-aligned buffering for
+        # multi-scale/flip frames, one _step_ensemble_chunk dispatch
+        # per K frames (collapses the per-frame ensemble's ~10
+        # dispatches for the reference MF config)
+        ens_buf: List = []
+        ens_ctx: Dict = {}
+
+        def run_ens_frame(f, nm, g_imgs, idxs_by_group, flips_by_group,
+                          ov_np, em_np, o_hw):
+            """One ensemble frame through the per-frame jitted paths
+            (used standalone and as the ragged-chunk fallback)."""
+            total = None
+            for gi, idxs in enumerate(idxs_by_group):
+                for i in idxs:
+                    self._ensure_flat(states[i], ov_np)
+                probs_sum, updates = self._step_ensemble(
+                    g_imgs[gi], [states[i] for i in idxs],
+                    flips_by_group[gi], dev_vec(ov_np), f, o_hw)
+                for i, upd in zip(idxs, updates):
+                    states[i].prev_emb = upd["emb"]
+                    states[i].memory = DecoderMemory(upd["mem_slots"],
+                                                     upd["mem_valid"])
+                total = probs_sum if total is None else total + probs_sum
+            n_var = sum(len(x) for x in idxs_by_group)
+            pred_u8, conf_i32 = self._post_ensemble(total, n_var,
+                                                    dev_vec(em_np))
+            update_mem = (self.mem_every > -1
+                          and f % self.mem_every == 0)
+            for gi, idxs in enumerate(idxs_by_group):
+                for j, i in enumerate(idxs):
+                    st = states[i]
+                    ps, cs = self._downscale_pair(
+                        pred_u8, conf_i32, st.prev_emb.shape[:2],
+                        flips_by_group[gi][j])
+                    st.prev_lab = ps
+                    if update_mem:
+                        st.add_ref(st.prev_emb, cs)
+            d2h_batch.append(((nm,), pred_u8[None]))
+            if d2h_frames() >= d2h_group:
+                flush_d2h()
+
+        def flush_ens():
+            if not ens_buf:
+                return
+            ov_np, em_np = ens_ctx["ov"], ens_ctx["em"]
+            o_hw = ens_ctx["ori_hw"]
+            idxs_by_group = ens_ctx["idxs"]
+            flips_by_group = ens_ctx["flips"]
+            t1 = time.time()
+            if len(ens_buf) == chunk_n and chunk_n > 1:
+                for idxs in idxs_by_group:
+                    for i in idxs:
+                        self._ensure_flat(states[i], ov_np)
+                imgs_by_group = [
+                    jnp.stack([e[2][gi] for e in ens_buf])
+                    for gi in range(len(idxs_by_group))]
+                preds, updates = self._step_ensemble_chunk(
+                    imgs_by_group,
+                    [[states[i] for i in idxs] for idxs in idxs_by_group],
+                    flips_by_group, dev_vec(ov_np), dev_vec(em_np),
+                    ens_buf[0][0], o_hw)
+                f_last = ens_buf[-1][0]
+                update_mem = (self.mem_every > -1
+                              and f_last % self.mem_every == 0)
+                for gi, idxs in enumerate(idxs_by_group):
+                    for j, i in enumerate(idxs):
+                        st = states[i]
+                        upd = updates[gi][j]
+                        st.prev_emb = upd["emb"]
+                        st.prev_lab = upd["pred_small"]
+                        st.memory = DecoderMemory(upd["mem_slots"],
+                                                  upd["mem_valid"])
+                        if update_mem:
+                            st.add_ref(st.prev_emb, upd["conf_small"])
+                d2h_batch.append((tuple(e[1] for e in ens_buf), preds))
+            else:   # ragged chunk: per-frame graphs
+                for f, nm, g_imgs in ens_buf:
+                    run_ens_frame(f, nm, g_imgs, idxs_by_group,
+                                  flips_by_group, ov_np, em_np, o_hw)
+            timing["step_dispatch"] += time.time() - t1
+            ens_buf.clear()
+            if d2h_frames() >= d2h_group:
+                t0 = time.time()
+                flush_d2h()
+                timing["flush"] += time.time() - t0
+
         for frame_idx, sample in enumerate(loader):
             t_start = time.time()
             meta = sample["meta"]
@@ -796,56 +1037,60 @@ class Evaluator:
             # any buffered fused frames precede this non-fused frame
             flush_chunk()
 
-            # batched ensemble fast path: variants grouped by shape, one
-            # jitted step per group (backbone batched over the group),
-            # fused device-side averaging/postprocess — no per-variant
-            # host sync (VERDICT r2 weak #5)
+            # batched ensemble fast path: variants grouped by scale, the
+            # flip=False member's image is each group's device input (the
+            # flipped twin materializes on device), frames chunked into
+            # MEM_EVERY-aligned scans (VERDICT r2 weak #5)
             if (self.use_fused and frame_idx > 0 and join_label is None
                     and len(states) == len(variants)):
                 groups: Dict = {}
                 for i, var in enumerate(variants):
                     groups.setdefault(var["scale"], []).append((i, var))
-                total = None
-                for scale, members in groups.items():
-                    idxs = [i for i, _ in members]
-                    for i in idxs:
-                        self._ensure_flat(states[i], obj_valid_np)
-                    # the flip=False member comes first (eval_variants
-                    # order); its image is the group's device input — the
-                    # flipped twin is materialized on device
-                    base = next(v for _, v in members if not v["flip"])
-                    img = _var_dev(base)
-                    flips = tuple(bool(v["flip"]) for _, v in members)
-                    probs_sum, updates = self._step_ensemble(
-                        img, [states[i] for i in idxs], flips, obj_valid,
-                        frame_idx, (ori_h, ori_w))
-                    for i, upd in zip(idxs, updates):
-                        states[i].prev_emb = upd["emb"]
-                        states[i].memory = DecoderMemory(upd["mem_slots"],
-                                                         upd["mem_valid"])
-                    total = (probs_sum if total is None
-                             else total + probs_sum)
-                pred_u8, conf_i32 = self._post_ensemble(
-                    total, len(variants), dev_vec(exist_mask))
-                update_mem = (self.mem_every > -1 and
-                              frame_idx % self.mem_every == 0)
-                for i, var in enumerate(variants):
-                    st = states[i]
-                    ps, cs = self._downscale_pair(pred_u8, conf_i32,
-                                                  st.prev_emb.shape[:2],
-                                                  var["flip"])
-                    st.prev_lab = ps
-                    if update_mem:
-                        st.add_ref(st.prev_emb, cs)
-                seq_frames += 1
-                d2h_batch.append(((meta["current_name"],), pred_u8[None]))
-                if d2h_frames() >= d2h_group:
-                    flush_d2h()
+                members_l = list(groups.values())
+                g_imgs = [
+                    _var_dev(next(v for _, v in m if not v["flip"]))
+                    for m in members_l]
+                idxs_by_group = [[i for i, _ in m] for m in members_l]
+                flips_by_group = [tuple(bool(v["flip"]) for _, v in m)
+                                  for m in members_l]
+                sig = (tuple(groups.keys()),
+                       tuple(flips_by_group),
+                       tuple(tuple(x.shape) for x in g_imgs))
+                if chunk_n > 1:
+                    if ens_buf and (
+                            ens_ctx["sig"] != sig
+                            or ens_ctx["ori_hw"] != (ori_h, ori_w)
+                            or not np.array_equal(ens_ctx["ov"],
+                                                  obj_valid_np)
+                            or not np.array_equal(ens_ctx["em"],
+                                                  exist_mask)):
+                        flush_ens()
+                    if not ens_buf:
+                        ens_ctx.update(ov=obj_valid_np, em=exist_mask,
+                                       ori_hw=(ori_h, ori_w), sig=sig,
+                                       idxs=idxs_by_group,
+                                       flips=flips_by_group)
+                    ens_buf.append((frame_idx, meta["current_name"],
+                                    g_imgs))
+                    seq_frames += 1
+                    if (len(ens_buf) >= chunk_n
+                            or (self.mem_every > -1
+                                and frame_idx % self.mem_every == 0)):
+                        flush_ens()
+                else:
+                    run_ens_frame(frame_idx, meta["current_name"], g_imgs,
+                                  idxs_by_group, flips_by_group,
+                                  obj_valid_np, exist_mask,
+                                  (ori_h, ori_w))
+                    seq_frames += 1
                 if verbose:
                     print(f"Frame {meta['current_name']} obj={obj_num} "
                           f"[ens x{len(variants)}] "
                           f"t={time.time() - t_start:.3f}s")
                 continue
+
+            # ... and buffered ensemble frames too
+            flush_ens()
 
             for aug_idx, var in enumerate(variants):
                 img = _var_dev(var)
@@ -928,6 +1173,7 @@ class Evaluator:
         # frames (device compute + D2H + PNG writes), not dispatches
         t0 = time.time()
         flush_chunk()
+        flush_ens()
         flush_d2h()
         for f in pending:
             out = f.result()

@@ -142,6 +142,44 @@ def test_chunked_fused_matches_per_frame():
     assert mismatch / total < 0.005, (mismatch, total)
 
 
+@pytest.mark.slow
+def test_chunked_ensemble_matches_per_frame():
+    """The ensemble chunk (_step_ensemble_chunk: K frames x all scale
+    groups in one scan dispatch) must agree with the per-frame
+    ensemble path; MEM_EVERY=2 + chunk=2 over 6 frames covers steady
+    chunks, mem-update cuts and state carry across chunks."""
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models.aocnet import init_model
+
+    cfg = tiny_test(
+        DATA_RANDOMCROP=(33, 33),
+        MODEL_MULTI_LOCAL_DISTANCE=(1, 2),
+        MODEL_MAX_OBJ_NUM=3,
+        TEST_MAX_SIZE=None,
+        TEST_FLIP=True,
+        TEST_MULTISCALE=(1.0, 0.8),
+        MEM_EVERY=2,
+    )
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
+
+    def run(chunk):
+        ev = Evaluator(cfg.replace(TEST_FRAME_CHUNK=chunk),
+                       model, variables)
+        ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=6, obj_num=2)
+        return ev.evaluate_sequence(ds[0])["results"]
+
+    per_frame = run(1)
+    chunked = run(2)
+    assert set(per_frame) == set(chunked)
+    total = mismatch = 0
+    for k in per_frame:
+        a, b = np.asarray(per_frame[k]), np.asarray(chunked[k])
+        assert a.shape == b.shape
+        total += a.size
+        mismatch += int((a != b).sum())
+    assert mismatch / total < 0.005, (mismatch, total)
+
+
 def test_bce_loss_values(rng):
     from rvos_tpu.engine.loss import hard_mining_bce
     o, h, w = 3, 8, 8
