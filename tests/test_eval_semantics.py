@@ -84,6 +84,40 @@ class _Seq:
 
 
 @pytest.mark.slow
+def test_chunk_cut_on_exist_mask_change(tiny_model):
+    """A new label arriving via current_label_all mid-chunk must flush
+    the fused frame-chunk buffer (exist_mask is loop-invariant inside a
+    chunk); chunked and per-frame results must agree — and the chunk
+    gates (obj_valid/exist comparisons) must not alter semantics.
+    MEM_EVERY=3/chunk=3 with a label-set change at frame 2 puts the
+    change mid-chunk."""
+    cfg, model, variables = tiny_model
+    cfg = cfg.replace(MEM_EVERY=3)
+    gt = _gt_mask(*SIZE)
+    gt3 = _gt_mask(*SIZE, objs=(1, 2, 3))
+    # frame 2 reveals object 3 in the all-frames GT → exist_mask grows
+    all_by_idx = {0: gt, 2: gt3, 4: gt3}
+
+    def run(chunk):
+        ev = Evaluator(cfg.replace(TEST_FRAME_CHUNK=chunk),
+                       model, variables)
+        out = ev.evaluate_sequence(
+            _Seq(7, {0: gt}, all_by_idx=all_by_idx,
+                 obj_nums=[3] * 7))
+        return out["results"]
+
+    per_frame = run(1)
+    chunked = run(3)
+    assert set(per_frame) == set(chunked)
+    total = mismatch = 0
+    for k in per_frame:
+        a, b = np.asarray(per_frame[k]), np.asarray(chunked[k])
+        total += a.size
+        mismatch += int((a != b).sum())
+    assert mismatch / total < 0.005, (mismatch, total)
+
+
+@pytest.mark.slow
 def test_all_labels_mask_only_never_spliced(tiny_model):
     """Per-frame GT (label-aware eval) must not overwrite predictions:
     outputs identical with and without current_label_all when the label
