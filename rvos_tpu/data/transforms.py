@@ -185,9 +185,16 @@ def random_hflip(sample: Dict, p: float, rng: np.random.Generator) -> Dict:
 def eval_variants(img: np.ndarray, max_size: Optional[float],
                   min_size: Optional[int], flip: bool,
                   multi_scale: Sequence[float]) -> List[Dict]:
-    """MultiRestrictSize: one resized (+optionally flipped) variant per
-    scale (ref :387-463).  Labels are deliberately NOT resized — the
-    evaluator keeps them at original resolution like the reference."""
+    """MultiRestrictSize: one resized variant per scale (+ a flip twin
+    per scale when ``flip``), ref :387-463.  Labels are deliberately
+    NOT resized — the evaluator keeps them at original resolution like
+    the reference.
+
+    Flip twins carry the UNFLIPPED pixels in ``img`` (plus
+    ``flip=True``): the evaluator materializes the horizontal flip on
+    device (`_var_dev`, bit-exact and free), so a host
+    ``ascontiguousarray`` copy per flip variant per frame would be pure
+    waste on the CPU-bound eval host."""
     h, w = img.shape[:2]
     variants = []
     for scale in multi_scale:
@@ -195,6 +202,5 @@ def eval_variants(img: np.ndarray, max_size: Optional[float],
         im = _resize_img(img, (nh, nw)) if (nh, nw) != (h, w) else img
         variants.append({"img": im, "flip": False, "scale": scale})
         if flip:
-            variants.append({"img": np.ascontiguousarray(im[:, ::-1]),
-                             "flip": True, "scale": scale})
+            variants.append({"img": im, "flip": True, "scale": scale})
     return variants

@@ -67,21 +67,25 @@ class _EvalPrepView:
     def __getitem__(self, i):
         cfg = self.cfg
         sample = self.dataset[i]
-        variants = eval_variants(
+        sample["variants"] = _put_variants(eval_variants(
             sample["current_img"], cfg.TEST_MAX_SIZE, cfg.TEST_MIN_SIZE,
-            cfg.TEST_FLIP, cfg.TEST_MULTISCALE)
-        base_dev = None
-        for var in variants:
-            if var["flip"]:
-                # don't upload the host-flipped copy: the fast paths
-                # flip on device, and _var_dev derives the flipped
-                # image from the base scale's upload when needed
-                var["dev"] = None
-                var["dev_src"] = (base_dev, None)
-                continue
-            base_dev = var["dev"] = jax.device_put(_frame_u8(var["img"]))
-        sample["variants"] = variants
+            cfg.TEST_FLIP, cfg.TEST_MULTISCALE))
         return sample
+
+
+def _put_variants(variants):
+    """Upload each non-flip variant (uint8 ``device_put``); flip twins
+    get a ``dev_src`` pointing at their scale's upload — the flip
+    materializes on device in ``_var_dev`` (bit-exact, no host copy,
+    no extra H2D)."""
+    base_dev = None
+    for var in variants:
+        if var["flip"]:
+            var["dev"] = None
+            var["dev_src"] = (base_dev, None)
+            continue
+        base_dev = var["dev"] = jax.device_put(_frame_u8(var["img"]))
+    return variants
 
 
 def _frame_u8(img: np.ndarray) -> np.ndarray:
@@ -160,14 +164,7 @@ class _EvalPrepGroupView:
                     s["variants"][v]["dev"] = dev[j]
         else:  # ragged group (mid-sequence size change): per-frame puts
             for s in samples:
-                base_dev = None
-                for var in s["variants"]:
-                    if var["flip"]:
-                        var["dev"] = None
-                        var["dev_src"] = (base_dev, None)
-                        continue
-                    base_dev = var["dev"] = jax.device_put(
-                        _frame_u8(var["img"]))
+                _put_variants(s["variants"])
         return samples
 
 
@@ -249,6 +246,13 @@ class Evaluator:
         self._precompact_jit = {}
         self._last_states: List[_AugState] = []   # test introspection
         self._last_label_list: List[int] = []
+
+    def _mem_boundary(self, frame_idx: int) -> bool:
+        """True when this frame appends to the reference bank (every
+        MEM_EVERY-th frame, ref :309-312).  MEM_EVERY <= 0 disables —
+        including 0, which the old ``> -1`` guard would have turned
+        into a modulo-by-zero crash."""
+        return self.mem_every > 0 and frame_idx % self.mem_every == 0
 
     def _ensure_flat(self, state: _AugState, obj_valid):
         """Refresh the precompacted flat bank when the bank contents or
@@ -810,9 +814,14 @@ class Evaluator:
             singles = [(n, b) for n, b in d2h_batch if len(n) == 1]
             blocks = [(n, b) for n, b in d2h_batch if len(n) > 1]
             d2h_batch.clear()
-            if singles:   # one stacked transfer for the loose frames
-                blocks.append((tuple(n for (n,), _ in singles),
-                               jnp.concatenate([b for _, b in singles])))
+            # one stacked transfer per RESOLUTION of loose frames (a
+            # mid-sequence frame-size change may mix shapes here)
+            by_shape: Dict = {}
+            for (n,), b in singles:
+                by_shape.setdefault(tuple(b.shape[1:]), []).append((n, b))
+            for same in by_shape.values():
+                blocks.append((tuple(n for n, _ in same),
+                               jnp.concatenate([b for _, b in same])))
             for _, b in blocks:   # start the D2H now; the saver's
                 try:              # np.asarray then only finalizes it
                     b.copy_to_host_async()
@@ -863,7 +872,7 @@ class Evaluator:
                 st.prev_emb = emb
                 st.prev_lab = plab
                 f_last = chunk_buf[-1][0]
-                if self.mem_every > -1 and f_last % self.mem_every == 0:
+                if self._mem_boundary(f_last):
                     st.add_ref(emb, conf)
                 d2h_batch.append((tuple(n for _, n, _ in chunk_buf), preds))
             else:
@@ -877,7 +886,7 @@ class Evaluator:
                     st.memory = DecoderMemory(ms, mv)
                     st.prev_emb = emb
                     st.prev_lab = pred_small
-                    if self.mem_every > -1 and f % self.mem_every == 0:
+                    if self._mem_boundary(f):
                         st.add_ref(emb, conf_small)
                     d2h_batch.append(((nm,), pred_u8[None]))
             timing["step_dispatch"] += time.time() - t1
@@ -913,8 +922,7 @@ class Evaluator:
             n_var = sum(len(x) for x in idxs_by_group)
             pred_u8, conf_i32 = self._post_ensemble(total, n_var,
                                                     dev_vec(em_np))
-            update_mem = (self.mem_every > -1
-                          and f % self.mem_every == 0)
+            update_mem = self._mem_boundary(f)
             for gi, idxs in enumerate(idxs_by_group):
                 for j, i in enumerate(idxs):
                     st = states[i]
@@ -949,8 +957,7 @@ class Evaluator:
                     flips_by_group, dev_vec(ov_np), dev_vec(em_np),
                     ens_buf[0][0], o_hw)
                 f_last = ens_buf[-1][0]
-                update_mem = (self.mem_every > -1
-                              and f_last % self.mem_every == 0)
+                update_mem = self._mem_boundary(f_last)
                 for gi, idxs in enumerate(idxs_by_group):
                     for j, i in enumerate(idxs):
                         st = states[i]
@@ -1029,8 +1036,7 @@ class Evaluator:
                 chunk_buf.append((frame_idx, meta["current_name"], img))
                 seq_frames += 1
                 if (len(chunk_buf) >= chunk_n
-                        or (self.mem_every > -1
-                            and frame_idx % self.mem_every == 0)):
+                        or self._mem_boundary(frame_idx)):
                     flush_chunk()
                 continue
 
@@ -1074,8 +1080,7 @@ class Evaluator:
                                     g_imgs))
                     seq_frames += 1
                     if (len(ens_buf) >= chunk_n
-                            or (self.mem_every > -1
-                                and frame_idx % self.mem_every == 0)):
+                            or self._mem_boundary(frame_idx)):
                         flush_ens()
                 else:
                     run_ens_frame(frame_idx, meta["current_name"], g_imgs,
@@ -1146,8 +1151,7 @@ class Evaluator:
             if join_label is not None:
                 pred_conf = np.where(join_label == 0, pred_conf, join_label)
 
-            update_mem = (self.mem_every > -1 and
-                          frame_idx % self.mem_every == 0)
+            update_mem = self._mem_boundary(frame_idx)
             for aug_idx, var in enumerate(variants):
                 st = states[aug_idx]
                 lab = pred_label[:, ::-1] if var["flip"] else pred_label

@@ -40,7 +40,10 @@ def test_eval_variants_flip_and_scales(rng):
     vs = eval_variants(img, 800 * 1.3, None, True, (1.0, 1.3))
     assert len(vs) == 4
     assert vs[1]["flip"] and not vs[0]["flip"]
-    np.testing.assert_allclose(vs[1]["img"], vs[0]["img"][:, ::-1])
+    # flip twins carry the UNFLIPPED pixels; the evaluator flips on
+    # device (_var_dev) — no host copy
+    assert vs[1]["img"] is vs[0]["img"]
+    assert vs[2]["scale"] == 1.3 and not vs[2]["flip"]
 
 
 def test_balanced_random_crop_relabels(rng):
