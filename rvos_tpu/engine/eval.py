@@ -842,7 +842,7 @@ class Evaluator:
 
             pending.append(saver.submit(job, blocks))
 
-        # ---- fused chunking: buffer eligible frames, dispatch K at a
+        # ---- frame chunking: buffer eligible frames, dispatch K at a
         # time (one lax.scan call), cutting at MEM_EVERY boundaries so
         # the reference bank stays loop-invariant inside a chunk
         chunk_n = 1
@@ -850,58 +850,81 @@ class Evaluator:
             chunk_n = max(1, int(getattr(cfg, "TEST_FRAME_CHUNK", 1)))
             if self.mem_every > 0:
                 chunk_n = min(chunk_n, self.mem_every)
-        chunk_buf: List = []     # (frame_idx, name, dev_img)
-        chunk_ctx: Dict = {}
 
-        def flush_chunk():
-            if not chunk_buf:
-                return
+        class _Chunker:
+            """MEM_EVERY-aligned frame buffer shared by the fused and
+            ensemble fast paths.  Cuts on any context change (shape
+            signature / ori_hw / obj_valid / exist_mask — the inputs a
+            chunk holds loop-invariant), at the chunk size, and right
+            after memory-update frames (so ``add_ref`` timing matches
+            the per-frame path exactly).  Full chunks run one scan
+            graph; ragged cuts replay the per-frame graphs (a
+            tail-length scan would be a fresh compile per distinct
+            K)."""
+
+            def __init__(me, run_full, run_ragged):
+                me.buf, me.ctx = [], {}
+                me.run_full, me.run_ragged = run_full, run_ragged
+
+            def push(me, f, name, payload, sig, ov_np, em_np, o_hw,
+                     extra=None):
+                if me.buf and (
+                        me.ctx["sig"] != sig
+                        or me.ctx["ori_hw"] != o_hw
+                        or not np.array_equal(me.ctx["ov"], ov_np)
+                        or not np.array_equal(me.ctx["em"], em_np)):
+                    me.flush()
+                if not me.buf:
+                    me.ctx.update(sig=sig, ov=ov_np, em=em_np,
+                                  ori_hw=o_hw, **(extra or {}))
+                me.buf.append((f, name, payload))
+                if len(me.buf) >= chunk_n or self._mem_boundary(f):
+                    me.flush()
+
+            def flush(me):
+                if not me.buf:
+                    return
+                t1 = time.time()
+                if len(me.buf) == chunk_n and chunk_n > 1:
+                    me.run_full(me.buf, me.ctx)
+                else:
+                    me.run_ragged(me.buf, me.ctx)
+                timing["step_dispatch"] += time.time() - t1
+                me.buf.clear()
+                if d2h_frames() >= d2h_group:
+                    t0 = time.time()
+                    flush_d2h()
+                    timing["flush"] += time.time() - t0
+
+        def _fused_full(buf, ctx):
             st = states[0]
-            ov_np, em_np = chunk_ctx["ov"], chunk_ctx["em"]
-            o_hw = chunk_ctx["ori_hw"]
-            t0 = time.time()
-            self._ensure_flat(st, ov_np)
-            t1 = time.time()
-            timing["flat"] += t1 - t0
-            if len(chunk_buf) == chunk_n and chunk_n > 1:
-                imgs = jnp.stack([im for _, _, im in chunk_buf])
-                preds, plab, conf, emb, ms, mv = self._step_fused_chunk(
-                    imgs, st, dev_vec(ov_np), dev_vec(em_np),
-                    chunk_buf[0][0], o_hw)
+            self._ensure_flat(st, ctx["ov"])
+            imgs = jnp.stack([im for _, _, im in buf])
+            preds, plab, conf, emb, ms, mv = self._step_fused_chunk(
+                imgs, st, dev_vec(ctx["ov"]), dev_vec(ctx["em"]),
+                buf[0][0], ctx["ori_hw"])
+            st.memory = DecoderMemory(ms, mv)
+            st.prev_emb = emb
+            st.prev_lab = plab
+            if self._mem_boundary(buf[-1][0]):
+                st.add_ref(emb, conf)
+            d2h_batch.append((tuple(n for _, n, _ in buf), preds))
+
+        def _fused_ragged(buf, ctx):
+            st = states[0]
+            self._ensure_flat(st, ctx["ov"])
+            for f, nm, im in buf:
+                (pred_u8, pred_small, conf_small, emb, ms, mv) = \
+                    self._step_fused(im, st, dev_vec(ctx["ov"]),
+                                     dev_vec(ctx["em"]), f, ctx["ori_hw"])
                 st.memory = DecoderMemory(ms, mv)
                 st.prev_emb = emb
-                st.prev_lab = plab
-                f_last = chunk_buf[-1][0]
-                if self._mem_boundary(f_last):
-                    st.add_ref(emb, conf)
-                d2h_batch.append((tuple(n for _, n, _ in chunk_buf), preds))
-            else:
-                # ragged chunk (sequence tail / early cut): per-frame
-                # steps on the single-frame graph — a tail-length scan
-                # would be a fresh compile per distinct K
-                for f, nm, im in chunk_buf:
-                    (pred_u8, pred_small, conf_small, emb, ms, mv) = \
-                        self._step_fused(im, st, dev_vec(ov_np),
-                                         dev_vec(em_np), f, o_hw)
-                    st.memory = DecoderMemory(ms, mv)
-                    st.prev_emb = emb
-                    st.prev_lab = pred_small
-                    if self._mem_boundary(f):
-                        st.add_ref(emb, conf_small)
-                    d2h_batch.append(((nm,), pred_u8[None]))
-            timing["step_dispatch"] += time.time() - t1
-            chunk_buf.clear()
-            if d2h_frames() >= d2h_group:
-                t0 = time.time()
-                flush_d2h()
-                timing["flush"] += time.time() - t0
+                st.prev_lab = pred_small
+                if self._mem_boundary(f):
+                    st.add_ref(emb, conf_small)
+                d2h_batch.append(((nm,), pred_u8[None]))
 
-        # ---- ensemble chunking: same MEM_EVERY-aligned buffering for
-        # multi-scale/flip frames, one _step_ensemble_chunk dispatch
-        # per K frames (collapses the per-frame ensemble's ~10
-        # dispatches for the reference MF config)
-        ens_buf: List = []
-        ens_ctx: Dict = {}
+        fused_chunks = _Chunker(_fused_full, _fused_ragged)
 
         def run_ens_frame(f, nm, g_imgs, idxs_by_group, flips_by_group,
                           ov_np, em_np, o_hw):
@@ -936,49 +959,39 @@ class Evaluator:
             if d2h_frames() >= d2h_group:
                 flush_d2h()
 
-        def flush_ens():
-            if not ens_buf:
-                return
-            ov_np, em_np = ens_ctx["ov"], ens_ctx["em"]
-            o_hw = ens_ctx["ori_hw"]
-            idxs_by_group = ens_ctx["idxs"]
-            flips_by_group = ens_ctx["flips"]
-            t1 = time.time()
-            if len(ens_buf) == chunk_n and chunk_n > 1:
-                for idxs in idxs_by_group:
-                    for i in idxs:
-                        self._ensure_flat(states[i], ov_np)
-                imgs_by_group = [
-                    jnp.stack([e[2][gi] for e in ens_buf])
-                    for gi in range(len(idxs_by_group))]
-                preds, updates = self._step_ensemble_chunk(
-                    imgs_by_group,
-                    [[states[i] for i in idxs] for idxs in idxs_by_group],
-                    flips_by_group, dev_vec(ov_np), dev_vec(em_np),
-                    ens_buf[0][0], o_hw)
-                f_last = ens_buf[-1][0]
-                update_mem = self._mem_boundary(f_last)
-                for gi, idxs in enumerate(idxs_by_group):
-                    for j, i in enumerate(idxs):
-                        st = states[i]
-                        upd = updates[gi][j]
-                        st.prev_emb = upd["emb"]
-                        st.prev_lab = upd["pred_small"]
-                        st.memory = DecoderMemory(upd["mem_slots"],
-                                                  upd["mem_valid"])
-                        if update_mem:
-                            st.add_ref(st.prev_emb, upd["conf_small"])
-                d2h_batch.append((tuple(e[1] for e in ens_buf), preds))
-            else:   # ragged chunk: per-frame graphs
-                for f, nm, g_imgs in ens_buf:
-                    run_ens_frame(f, nm, g_imgs, idxs_by_group,
-                                  flips_by_group, ov_np, em_np, o_hw)
-            timing["step_dispatch"] += time.time() - t1
-            ens_buf.clear()
-            if d2h_frames() >= d2h_group:
-                t0 = time.time()
-                flush_d2h()
-                timing["flush"] += time.time() - t0
+        def _ens_full(buf, ctx):
+            idxs_by_group = ctx["idxs"]
+            flips_by_group = ctx["flips"]
+            for idxs in idxs_by_group:
+                for i in idxs:
+                    self._ensure_flat(states[i], ctx["ov"])
+            imgs_by_group = [
+                jnp.stack([e[2][gi] for e in buf])
+                for gi in range(len(idxs_by_group))]
+            preds, updates = self._step_ensemble_chunk(
+                imgs_by_group,
+                [[states[i] for i in idxs] for idxs in idxs_by_group],
+                flips_by_group, dev_vec(ctx["ov"]), dev_vec(ctx["em"]),
+                buf[0][0], ctx["ori_hw"])
+            update_mem = self._mem_boundary(buf[-1][0])
+            for gi, idxs in enumerate(idxs_by_group):
+                for j, i in enumerate(idxs):
+                    st = states[i]
+                    upd = updates[gi][j]
+                    st.prev_emb = upd["emb"]
+                    st.prev_lab = upd["pred_small"]
+                    st.memory = DecoderMemory(upd["mem_slots"],
+                                              upd["mem_valid"])
+                    if update_mem:
+                        st.add_ref(st.prev_emb, upd["conf_small"])
+            d2h_batch.append((tuple(e[1] for e in buf), preds))
+
+        def _ens_ragged(buf, ctx):
+            for f, nm, g_imgs in buf:
+                run_ens_frame(f, nm, g_imgs, ctx["idxs"], ctx["flips"],
+                              ctx["ov"], ctx["em"], ctx["ori_hw"])
+
+        ens_chunks = _Chunker(_ens_full, _ens_ragged)
 
         for frame_idx, sample in enumerate(loader):
             t_start = time.time()
@@ -1023,25 +1036,14 @@ class Evaluator:
             if (self.use_fused and frame_idx > 0 and len(variants) == 1
                     and join_label is None and not variants[0]["flip"]):
                 img = _var_dev(variants[0])
-                if chunk_buf and (
-                        chunk_ctx["shape"] != tuple(img.shape)
-                        or chunk_ctx["ori_hw"] != (ori_h, ori_w)
-                        or not np.array_equal(chunk_ctx["ov"], obj_valid_np)
-                        or not np.array_equal(chunk_ctx["em"], exist_mask)):
-                    flush_chunk()
-                if not chunk_buf:
-                    chunk_ctx.update(ov=obj_valid_np, em=exist_mask,
-                                     ori_hw=(ori_h, ori_w),
-                                     shape=tuple(img.shape))
-                chunk_buf.append((frame_idx, meta["current_name"], img))
+                fused_chunks.push(frame_idx, meta["current_name"], img,
+                                  tuple(img.shape), obj_valid_np,
+                                  exist_mask, (ori_h, ori_w))
                 seq_frames += 1
-                if (len(chunk_buf) >= chunk_n
-                        or self._mem_boundary(frame_idx)):
-                    flush_chunk()
                 continue
 
             # any buffered fused frames precede this non-fused frame
-            flush_chunk()
+            fused_chunks.flush()
 
             # batched ensemble fast path: variants grouped by scale, the
             # flip=False member's image is each group's device input (the
@@ -1063,31 +1065,17 @@ class Evaluator:
                        tuple(flips_by_group),
                        tuple(tuple(x.shape) for x in g_imgs))
                 if chunk_n > 1:
-                    if ens_buf and (
-                            ens_ctx["sig"] != sig
-                            or ens_ctx["ori_hw"] != (ori_h, ori_w)
-                            or not np.array_equal(ens_ctx["ov"],
-                                                  obj_valid_np)
-                            or not np.array_equal(ens_ctx["em"],
-                                                  exist_mask)):
-                        flush_ens()
-                    if not ens_buf:
-                        ens_ctx.update(ov=obj_valid_np, em=exist_mask,
-                                       ori_hw=(ori_h, ori_w), sig=sig,
-                                       idxs=idxs_by_group,
-                                       flips=flips_by_group)
-                    ens_buf.append((frame_idx, meta["current_name"],
-                                    g_imgs))
-                    seq_frames += 1
-                    if (len(ens_buf) >= chunk_n
-                            or self._mem_boundary(frame_idx)):
-                        flush_ens()
+                    ens_chunks.push(frame_idx, meta["current_name"],
+                                    g_imgs, sig, obj_valid_np, exist_mask,
+                                    (ori_h, ori_w),
+                                    extra={"idxs": idxs_by_group,
+                                           "flips": flips_by_group})
                 else:
                     run_ens_frame(frame_idx, meta["current_name"], g_imgs,
                                   idxs_by_group, flips_by_group,
                                   obj_valid_np, exist_mask,
                                   (ori_h, ori_w))
-                    seq_frames += 1
+                seq_frames += 1
                 if verbose:
                     print(f"Frame {meta['current_name']} obj={obj_num} "
                           f"[ens x{len(variants)}] "
@@ -1095,7 +1083,7 @@ class Evaluator:
                 continue
 
             # ... and buffered ensemble frames too
-            flush_ens()
+            ens_chunks.flush()
 
             for aug_idx, var in enumerate(variants):
                 img = _var_dev(var)
@@ -1176,8 +1164,8 @@ class Evaluator:
         # drain async transfers/writes so FPS reflects completed
         # frames (device compute + D2H + PNG writes), not dispatches
         t0 = time.time()
-        flush_chunk()
-        flush_ens()
+        fused_chunks.flush()
+        ens_chunks.flush()
         flush_d2h()
         for f in pending:
             out = f.result()
