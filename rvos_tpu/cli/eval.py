@@ -44,7 +44,28 @@ def build_parser():
     p.add_argument("--ytb_root", type=str, default="")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--shard_id", type=int, default=0,
+                   help="evaluate sequences i with i %% shard_num == "
+                        "shard_id (round-robin split for multi-process/"
+                        "multi-host eval; all shards share --out)")
+    p.add_argument("--shard_num", type=int, default=1)
     return p
+
+
+class _ShardView:
+    """Round-robin sequence shard of an eval dataset (the
+    DistributedSampler-style split the reference gets from one process
+    per GPU; here one process per chip/host shares the result tree)."""
+
+    def __init__(self, ds, shard_id: int, shard_num: int):
+        self.ds = ds
+        self.idx = list(range(shard_id, len(ds), shard_num))
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, i):
+        return self.ds[self.idx[i]]
 
 
 def main(argv=None):
@@ -151,6 +172,14 @@ def main(argv=None):
             print(f"Loaded checkpoint step {step} from {ckpt_dir}")
         except FileNotFoundError as e:
             print(f"WARNING: {e}; evaluating with random weights")
+
+    if args.shard_num > 1:
+        if not (0 <= args.shard_id < args.shard_num):
+            raise SystemExit(f"--shard_id {args.shard_id} out of range "
+                             f"for --shard_num {args.shard_num}")
+        dataset = _ShardView(dataset, args.shard_id, args.shard_num)
+        print(f"Shard {args.shard_id}/{args.shard_num}: "
+              f"{len(dataset)} sequences")
 
     ev = Evaluator(cfg, model, variables, out_root)
     summary = ev.evaluating(dataset, save_root=out_root)

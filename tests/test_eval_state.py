@@ -40,3 +40,35 @@ def test_cli_parsers_build():
     assert cfg.TRAIN_LR == 0.2
     assert cfg.MESH_DATA_AXIS == 4
     assert cfg.MATCHING_DTYPE == "bfloat16"
+
+
+def test_shard_view_round_robin():
+    from rvos_tpu.cli.eval import _ShardView
+
+    class _DS(list):
+        pass
+
+    ds = _DS(f"seq{i}" for i in range(7))
+    shards = [_ShardView(ds, i, 3) for i in range(3)]
+    assert [len(s) for s in shards] == [3, 2, 2]
+    seen = [s[i] for s in shards for i in range(len(s))]
+    assert sorted(seen) == sorted(ds)          # full cover, no overlap
+
+
+def test_cli_shard_splits_sequences(tmp_path):
+    """--shard_id/--shard_num: the two shards of the 3-sequence
+    synthetic dataset must produce disjoint result dirs that together
+    cover all sequences (multi-process eval, shared --out)."""
+    import os
+
+    from rvos_tpu.cli.eval import main
+
+    outs = []
+    for sid in range(2):
+        out = str(tmp_path / f"s{sid}" / "Annotations")
+        main(["--config", "tiny_test", "--synthetic", "--out", out,
+              "--shard_id", str(sid), "--shard_num", "2"])
+        outs.append({d for d in os.listdir(out)
+                     if os.path.isdir(os.path.join(out, d))})
+    assert outs[0] & outs[1] == set()
+    assert outs[0] | outs[1] == {"test1", "test2", "test3"}
