@@ -197,6 +197,25 @@ def main(argv=None):
             jf = evaluate_dataset_jf(out_root, label_root)
             print(f"J: {jf['J']:.4f}  F: {jf['F']:.4f}  "
                   f"J&F: {jf['J&F']:.4f}")
+            # per-sequence + global CSVs like the DAVIS toolkit the
+            # reference relies on (davis2017-evaluation
+            # per-sequence_results/global_results csv pair)
+            import csv
+            base = out_root.rstrip("/")
+            with open(base + "_per-sequence_results.csv", "w",
+                      newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(["Sequence", "J-Mean", "F-Mean"])
+                for seq in sorted(jf["per_seq"]):
+                    s = jf["per_seq"][seq]
+                    w.writerow([seq, f"{s['J']:.6f}", f"{s['F']:.6f}"])
+            with open(base + "_global_results.csv", "w",
+                      newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(["J&F-Mean", "J-Mean", "F-Mean"])
+                w.writerow([f"{jf['J&F']:.6f}", f"{jf['J']:.6f}",
+                            f"{jf['F']:.6f}"])
+            print(f"Wrote {base}_per-sequence_results.csv")
         else:
             print("--jf requested but no GT annotations available")
 

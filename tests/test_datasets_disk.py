@@ -141,7 +141,7 @@ def test_ytb_cli_eval_copies_first_frame_gt(ytb_root, tmp_path):
 
     out = str(tmp_path / "Annotations")
     main(["--config", "tiny_test", "--ytb_root", ytb_root,
-          "--all_labels", "--out", out])
+          "--all_labels", "--jf", "--out", out])
     # first-frame GT copied by the dataset through result_root
     gt = os.path.join(out, "vid1", "00000.png")
     assert os.path.exists(gt)
@@ -153,3 +153,10 @@ def test_ytb_cli_eval_copies_first_frame_gt(ytb_root, tmp_path):
     names = sorted(os.listdir(os.path.join(out, "vid1")))
     assert "00001.png" in names and "00003.png" in names
     assert os.path.exists(out + ".zip")
+    # --jf wrote the DAVIS-toolkit-style CSV pair
+    import csv
+    with open(out + "_per-sequence_results.csv") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["Sequence", "J-Mean", "F-Mean"]
+    assert any(r[0] == "vid1" for r in rows[1:])
+    assert os.path.exists(out + "_global_results.csv")
