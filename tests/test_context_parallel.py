@@ -103,3 +103,43 @@ def test_cp_config_degrades_without_mesh():
     labels = jnp.zeros(emb.shape[1:3], jnp.int32)
     logits = model.apply(variables, imgs, labels, method=AOCNet.full_forward)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_chunked_eval_context_parallel_equivalence():
+    """The chunked evaluator under a context-parallel mesh
+    (MESH_MODEL_AXIS=4 over the 8 virtual devices) must reproduce the
+    unsharded chunked eval — the chunk scan dispatches run under
+    ambient_mesh_ctx like the per-frame graphs."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rvos_tpu.configs import tiny_test
+    from rvos_tpu.data.datasets import SyntheticEval
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models.aocnet import init_model
+
+    cfg = tiny_test(
+        DATA_RANDOMCROP=(33, 33),
+        MODEL_MULTI_LOCAL_DISTANCE=(1, 2),
+        MODEL_MAX_OBJ_NUM=3,
+        TEST_MAX_SIZE=None,
+        MEM_EVERY=3,
+        TEST_FRAME_CHUNK=3,
+    )
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
+
+    def run(model_axis):
+        ev = Evaluator(cfg.replace(MESH_MODEL_AXIS=model_axis),
+                       model, variables)
+        ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=7, obj_num=2)
+        return ev.evaluate_sequence(ds[0])["results"]
+
+    base = run(1)
+    cp = run(4)
+    assert set(base) == set(cp)
+    total = mismatch = 0
+    for k in base:
+        a, b = np.asarray(base[k]), np.asarray(cp[k])
+        total += a.size
+        mismatch += int((a != b).sum())
+    assert mismatch / total < 0.005, (mismatch, total)
