@@ -73,6 +73,11 @@ def main(argv=None):
 
     import jax
 
+    # RVOS_PLATFORM=cpu forces the backend BEFORE init — the hosted TPU
+    # plugin ignores the standard JAX_PLATFORMS env var (CLAUDE.md)
+    if os.environ.get("RVOS_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["RVOS_PLATFORM"])
+
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
