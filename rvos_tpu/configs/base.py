@@ -119,7 +119,8 @@ class Config:
     TEST_MULTISCALE: Sequence[float] = (1.0,)
     TEST_MIN_SIZE: Optional[int] = None
     TEST_MAX_SIZE: float = 800 * 1.3
-    TEST_WORKERS: int = 4
+    TEST_WORKERS: int = 2                  # eval prefetch threads (2 measured best on the
+    #   1-vCPU harness — feed/e2e A/Bs; raise on real multi-core hosts)
     TEST_GLOBAL_CHUNKS: int = 4            # parity only
     TEST_GLOBAL_ATROUS_RATE: int = 1
     TEST_LOCAL_ATROUS_RATE: int = 1

@@ -747,7 +747,11 @@ class Evaluator:
         # DataLoader workers, eval_manager_mm.py:180)
         from concurrent.futures import ThreadPoolExecutor
         from ..data.loader import PrefetchLoader
-        n_workers = min(2, self.cfg.TEST_WORKERS) or 1
+        # honor TEST_WORKERS as configured (reference DataLoader
+        # workers, eval_manager_mm.py:180) — the old min(2, ·) cap only
+        # made sense on the 1-vCPU harness host, where extra GIL-bound
+        # workers measured neutral-to-negative; production hosts scale
+        n_workers = max(1, self.cfg.TEST_WORKERS)
         group = max(1, int(getattr(cfg, "TEST_H2D_GROUP", 1)))
         if group > 1:
             grouped = PrefetchLoader(
