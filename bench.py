@@ -25,12 +25,84 @@ def _log(msg):
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _acquire_backend():
+    """Resolve the default JAX backend with bounded retry/backoff.
+
+    VERDICT r3 weak #1: the hosted TPU plugin can throw a transient
+    `UNAVAILABLE: TPU backend setup/compile error`; a bare
+    `jax.default_backend()` call then kills the whole bench with a
+    traceback and the round records no number.  Retry a few times with
+    backoff; if the platform never comes up, fall back to CPU (the
+    bench still emits a valid-JSON smoke line) and report the error.
+
+    Returns (backend_name_or_None, error_string_or_None).
+    """
+    import jax
+
+    delays = [0, 20, 40, 60, 60]          # ~3 min of patience total
+    last_err = None
+    for i, d in enumerate(delays):
+        if d:
+            _log(f"bench: backend unavailable, retrying in {d}s "
+                 f"(attempt {i + 1}/{len(delays)}): {last_err}")
+            time.sleep(d)
+            # A failed plugin init leaves xla_bridge._backends partially
+            # populated (cpu) — without clearing, the retry would silently
+            # return cpu instead of re-attempting the TPU plugin.
+            try:
+                from jax._src import xla_bridge as _xb
+                _xb._clear_backends()
+            except Exception:             # noqa: BLE001 — best effort
+                pass
+        try:
+            return jax.default_backend(), None
+        except Exception as e:            # noqa: BLE001 — plugin raises
+            last_err = f"{type(e).__name__}: {e}"
+    # Final fallback: force the CPU platform so the bench can still run
+    # its (tiny) smoke configuration and print an honest JSON line.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend(), last_err
+    except Exception as e:                # noqa: BLE001
+        return None, f"{last_err}; cpu fallback also failed: {e}"
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # the plugin can also HANG (observed r4: init blocked >9 min with no
+    # exception) — a watchdog guarantees the driver still gets a JSON
+    # line instead of a timeout kill
+    import threading
+    acquired = threading.Event()
+
+    def _watchdog():
+        if not acquired.wait(600):
+            print(json.dumps({
+                "metric": "480p_multiobj_fps", "value": 0.0,
+                "unit": "frames/sec/chip", "vs_baseline": 0.0,
+                "error": "tpu backend init hung >600s (tunnel down?)",
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    backend, backend_err = _acquire_backend()
+    acquired.set()
+    if backend is None:
+        print(json.dumps({
+            "metric": "480p_multiobj_fps", "value": 0.0,
+            "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": backend_err,
+        }))
+        return
+    if backend_err is not None:
+        _log(f"bench: TPU unavailable after retries ({backend_err}); "
+             f"running CPU smoke so the round records a diagnosis")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -39,7 +111,7 @@ def main():
     from rvos_tpu.engine.eval import Evaluator
     from rvos_tpu.models.aocnet import init_model
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = backend == "tpu"
     # DAVIS 480p frame, snapped to the (x-1)%16==0 grid
     H, W = restrict_size(480, 854, 800 * 1.3)
     n_obj = 4                      # background + 3 objects
@@ -182,6 +254,10 @@ def main():
     }
     if e2e_fps is not None:
         out["e2e_fps"] = round(e2e_fps, 3)
+    if backend_err is not None:
+        # CPU-fallback smoke: the number is NOT a chip measurement.
+        out["error"] = f"tpu backend unavailable ({backend_err}); " \
+                       f"value is a CPU smoke, not a chip number"
     print(json.dumps(out))
 
 
@@ -234,4 +310,16 @@ def _e2e_bench(cfg, ev, n_frames: int = 60):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:                # noqa: BLE001 — last-resort guard
+        # Never hand the driver a bare traceback (rc=1, parsed:null):
+        # always emit a JSON line with a diagnosis (VERDICT r3 weak #1).
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "480p_multiobj_fps", "value": 0.0,
+            "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(0)

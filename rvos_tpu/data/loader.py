@@ -133,24 +133,50 @@ class TrainBatcher:
     """
 
     def __init__(self, dataset, batch_size: int, transform: Callable,
-                 seed: int = 0, num_workers: int = 2):
+                 seed: int = 0, num_workers: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch.  Under multi-host SPMD
+        (``parallel.distributed``) each process passes its
+        ``jax.process_index()/count()``: the epoch permutation is
+        seed-identical on every host, and each process loads + emits
+        only its contiguous ``batch_size/process_count`` slice of every
+        global batch (reference: DDP's DistributedSampler semantics,
+        ``train_manager_mm.py:163-178``)."""
+        if batch_size % max(1, process_count):
+            raise ValueError(f"global batch {batch_size} not divisible "
+                             f"by {process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.transform = transform
         self.seed = seed
         self.num_workers = num_workers
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         order = np.random.default_rng(epoch_idx).permutation(len(self.dataset))
+        if hasattr(self.dataset, "set_epoch"):
+            # seeded datasets fold the epoch into their per-item rng so
+            # frame sampling varies per epoch (ADVICE r3)
+            self.dataset.set_epoch(epoch_idx)
+        local_bs = self.batch_size // self.process_count
+        if self.process_count > 1:
+            # this process's contiguous slice of each global batch
+            n_batches = len(order) // self.batch_size
+            sel = []
+            for g in range(n_batches):
+                base = g * self.batch_size + self.process_index * local_bs
+                sel.extend(order[base: base + local_bs])
+            order = np.asarray(sel, dtype=order.dtype)
         view = _TransformedView(self.dataset, self.transform, epoch_idx,
                                 self.seed)
         loader = PrefetchLoader(view, order,
                                 num_workers=self.num_workers,
-                                prefetch=2 * self.batch_size)
+                                prefetch=2 * local_bs)
         buf = []
         for sample in loader:
             buf.append(sample)
-            if len(buf) == self.batch_size:
+            if len(buf) == local_bs:
                 yield self._collate(buf)
                 buf = []
 

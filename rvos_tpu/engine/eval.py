@@ -95,7 +95,10 @@ def _frame_u8(img: np.ndarray) -> np.ndarray:
     clip/cast pass is needed (each cost ~5 ms/frame on this host)."""
     if img.dtype == np.uint8:
         return img
-    return np.clip(img, 0, 255).astype(np.uint8)
+    # round-to-nearest, not truncate-toward-zero: perturbed float frames
+    # would otherwise darken by up to 1 LSB vs the reference's float
+    # pipeline (ADVICE r3)
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
 
 
 def _var_dev(var):
@@ -745,8 +748,8 @@ class Evaluator:
         # host pipeline: frame decode prefetched on threads, PNG writes
         # async — device compute overlaps IO (the reference leans on
         # DataLoader workers, eval_manager_mm.py:180)
-        from concurrent.futures import ThreadPoolExecutor
         from ..data.loader import PrefetchLoader
+        from .eval_pipeline import Chunker, D2HBatcher, MaskSaver
         # honor TEST_WORKERS as configured (reference DataLoader
         # workers, eval_manager_mm.py:180) — the old min(2, ·) cap only
         # made sense on the 1-vCPU harness host, where extra GIL-bound
@@ -761,8 +764,7 @@ class Evaluator:
         else:
             loader = PrefetchLoader(_EvalPrepView(seq_dataset, cfg),
                                     num_workers=n_workers, prefetch=3)
-        saver = ThreadPoolExecutor(max_workers=1)
-        pending = []
+        saver = MaskSaver(save_dir)
         # coarse attribution of the sequence wall time (returned under
         # "timing"): where a frame's 1/fps actually goes on this host
         timing = {"loader_wait": 0.0, "flat": 0.0, "step_dispatch": 0.0,
@@ -805,46 +807,7 @@ class Evaluator:
         # per-frame np.asarray in the saver PLUS the blanket asarray at
         # drain was two D2H RPCs per frame through the tunnel)
         d2h_group = max(group, int(getattr(cfg, "TEST_D2H_GROUP", 8)))
-        # entries: (names_tuple, device block [K, H, W]) — chunked steps
-        # contribute their stacked predictions as one block
-        d2h_batch: List = []
-
-        def d2h_frames():
-            return sum(len(n) for n, _ in d2h_batch)
-
-        def flush_d2h():
-            if not d2h_batch:
-                return
-            singles = [(n, b) for n, b in d2h_batch if len(n) == 1]
-            blocks = [(n, b) for n, b in d2h_batch if len(n) > 1]
-            d2h_batch.clear()
-            # one stacked transfer per RESOLUTION of loose frames (a
-            # mid-sequence frame-size change may mix shapes here)
-            by_shape: Dict = {}
-            for (n,), b in singles:
-                by_shape.setdefault(tuple(b.shape[1:]), []).append((n, b))
-            for same in by_shape.values():
-                blocks.append((tuple(n for n, _ in same),
-                               jnp.concatenate([b for _, b in same])))
-            for _, b in blocks:   # start the D2H now; the saver's
-                try:              # np.asarray then only finalizes it
-                    b.copy_to_host_async()
-                except Exception:
-                    pass
-
-            def job(blocks):
-                out = {}
-                for names, dev in blocks:
-                    host = np.asarray(dev)
-                    for i, nm in enumerate(names):
-                        arr = host[i]
-                        if save_dir is not None:
-                            png = os.path.splitext(nm)[0] + ".png"
-                            save_mask(arr, os.path.join(save_dir, png))
-                        out[nm] = arr
-                return out
-
-            pending.append(saver.submit(job, blocks))
+        d2h = D2HBatcher(saver, d2h_group)
 
         # ---- frame chunking: buffer eligible frames, dispatch K at a
         # time (one lax.scan call), cutting at MEM_EVERY boundaries so
@@ -854,51 +817,6 @@ class Evaluator:
             chunk_n = max(1, int(getattr(cfg, "TEST_FRAME_CHUNK", 1)))
             if self.mem_every > 0:
                 chunk_n = min(chunk_n, self.mem_every)
-
-        class _Chunker:
-            """MEM_EVERY-aligned frame buffer shared by the fused and
-            ensemble fast paths.  Cuts on any context change (shape
-            signature / ori_hw / obj_valid / exist_mask — the inputs a
-            chunk holds loop-invariant), at the chunk size, and right
-            after memory-update frames (so ``add_ref`` timing matches
-            the per-frame path exactly).  Full chunks run one scan
-            graph; ragged cuts replay the per-frame graphs (a
-            tail-length scan would be a fresh compile per distinct
-            K)."""
-
-            def __init__(me, run_full, run_ragged):
-                me.buf, me.ctx = [], {}
-                me.run_full, me.run_ragged = run_full, run_ragged
-
-            def push(me, f, name, payload, sig, ov_np, em_np, o_hw,
-                     extra=None):
-                if me.buf and (
-                        me.ctx["sig"] != sig
-                        or me.ctx["ori_hw"] != o_hw
-                        or not np.array_equal(me.ctx["ov"], ov_np)
-                        or not np.array_equal(me.ctx["em"], em_np)):
-                    me.flush()
-                if not me.buf:
-                    me.ctx.update(sig=sig, ov=ov_np, em=em_np,
-                                  ori_hw=o_hw, **(extra or {}))
-                me.buf.append((f, name, payload))
-                if len(me.buf) >= chunk_n or self._mem_boundary(f):
-                    me.flush()
-
-            def flush(me):
-                if not me.buf:
-                    return
-                t1 = time.time()
-                if len(me.buf) == chunk_n and chunk_n > 1:
-                    me.run_full(me.buf, me.ctx)
-                else:
-                    me.run_ragged(me.buf, me.ctx)
-                timing["step_dispatch"] += time.time() - t1
-                me.buf.clear()
-                if d2h_frames() >= d2h_group:
-                    t0 = time.time()
-                    flush_d2h()
-                    timing["flush"] += time.time() - t0
 
         def _fused_full(buf, ctx):
             st = states[0]
@@ -912,7 +830,7 @@ class Evaluator:
             st.prev_lab = plab
             if self._mem_boundary(buf[-1][0]):
                 st.add_ref(emb, conf)
-            d2h_batch.append((tuple(n for _, n, _ in buf), preds))
+            d2h.append(tuple(n for _, n, _ in buf), preds)
 
         def _fused_ragged(buf, ctx):
             st = states[0]
@@ -926,9 +844,10 @@ class Evaluator:
                 st.prev_lab = pred_small
                 if self._mem_boundary(f):
                     st.add_ref(emb, conf_small)
-                d2h_batch.append(((nm,), pred_u8[None]))
+                d2h.append((nm,), pred_u8[None])
 
-        fused_chunks = _Chunker(_fused_full, _fused_ragged)
+        fused_chunks = Chunker(chunk_n, _fused_full, _fused_ragged,
+                               self._mem_boundary, d2h, timing)
 
         def run_ens_frame(f, nm, g_imgs, idxs_by_group, flips_by_group,
                           ov_np, em_np, o_hw):
@@ -959,9 +878,8 @@ class Evaluator:
                     st.prev_lab = ps
                     if update_mem:
                         st.add_ref(st.prev_emb, cs)
-            d2h_batch.append(((nm,), pred_u8[None]))
-            if d2h_frames() >= d2h_group:
-                flush_d2h()
+            d2h.append((nm,), pred_u8[None])
+            d2h.maybe_flush()
 
         def _ens_full(buf, ctx):
             idxs_by_group = ctx["idxs"]
@@ -988,14 +906,15 @@ class Evaluator:
                                               upd["mem_valid"])
                     if update_mem:
                         st.add_ref(st.prev_emb, upd["conf_small"])
-            d2h_batch.append((tuple(e[1] for e in buf), preds))
+            d2h.append(tuple(e[1] for e in buf), preds)
 
         def _ens_ragged(buf, ctx):
             for f, nm, g_imgs in buf:
                 run_ens_frame(f, nm, g_imgs, ctx["idxs"], ctx["flips"],
                               ctx["ov"], ctx["em"], ctx["ori_hw"])
 
-        ens_chunks = _Chunker(_ens_full, _ens_ragged)
+        ens_chunks = Chunker(chunk_n, _ens_full, _ens_ragged,
+                             self._mem_boundary, d2h, timing)
 
         for frame_idx, sample in enumerate(loader):
             t_start = time.time()
@@ -1157,10 +1076,7 @@ class Evaluator:
 
             seq_frames += 1
             results[meta["current_name"]] = pred_label
-            if save_dir is not None:
-                name = os.path.splitext(meta["current_name"])[0] + ".png"
-                pending.append(saver.submit(
-                    save_mask, pred_label, os.path.join(save_dir, name)))
+            saver.submit_single(pred_label, meta["current_name"])
             if verbose:
                 print(f"Frame {meta['current_name']} obj={obj_num} "
                       f"t={time.time() - t_start:.3f}s")
@@ -1170,12 +1086,8 @@ class Evaluator:
         t0 = time.time()
         fused_chunks.flush()
         ens_chunks.flush()
-        flush_d2h()
-        for f in pending:
-            out = f.result()
-            if isinstance(out, dict):
-                results.update(out)
-        saver.shutdown(wait=True)
+        d2h.flush()
+        results.update(saver.drain())
         timing["drain"] = time.time() - t0
         results = {k: np.asarray(v) for k, v in results.items()}
         seq_time = time.time() - t_wall

@@ -182,14 +182,19 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
             iou = batched_iou(pred_full, cur_lab_full, batch["obj_num"], o)
 
             # full-res pred rides the carry (not the stacked ys) so only
-            # the LAST frame's mask is kept — for TRAIN_IMG_LOG dumps
+            # the LAST frame's mask is kept — for TRAIN_IMG_LOG dumps.
+            # Gated on the (static) flag: without image logging the int32
+            # full-res carry is pure HBM traffic through the remat'd scan
+            # (ADVICE r3)
             new_carry = (cur_emb, cur_lab_small, pred_small, new_mem,
-                         pred_full.astype(jnp.int32))
+                         pred_full.astype(jnp.int32) if cfg.TRAIN_IMG_LOG
+                         else jnp.zeros((), jnp.int32))
             return new_carry, (jnp.mean(losses), iou)
 
         seg_rngs = jax.random.split(jax.random.fold_in(rng, 1), t_len)
         carry0 = (prev_emb, prev_lab, prev_lab, mem0,
-                  jnp.zeros((b,) + tuple(full_hw), jnp.int32))
+                  jnp.zeros((b,) + tuple(full_hw), jnp.int32)
+                  if cfg.TRAIN_IMG_LOG else jnp.zeros((), jnp.int32))
         body = scan_body
         if cfg.TRAIN_REMAT:
             # whole-rollout AD would hold every frame's activations —
@@ -336,6 +341,12 @@ class Trainer:
     def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict:
         fn = self._build_step()
         from ..parallel.mesh import ambient_mesh_ctx
+        if jax.process_count() > 1:
+            # multi-host SPMD: each process holds only its slice of the
+            # global batch — stitch into global jax.Arrays (the jitted
+            # step and its in_shardings are oblivious)
+            from ..parallel.distributed import make_global_batch
+            batch = make_global_batch(self.mesh, batch)
         with ambient_mesh_ctx(self.mesh):
             self.state, metrics = fn(self.state, batch, rng)
         return metrics
@@ -347,13 +358,22 @@ class Trainer:
         rng = jax.random.PRNGKey(1234)
         epoch = 0
         t0 = time.time()
+        from ..parallel.distributed import is_primary
         from ..utils.logging import MetricsLogger
-        logger = MetricsLogger(cfg.result_dirs()["log"], tb=cfg.TRAIN_TBLOG)
+        # rank-0 logging/checkpointing, like the reference's
+        # ``self.rank == 0`` gates (train_manager_mm.py:285-317)
+        primary = is_primary()
+        logger = (MetricsLogger(cfg.result_dirs()["log"], tb=cfg.TRAIN_TBLOG)
+                  if primary else None)
         while int(self.state.step) < total:
             for batch in batcher.epoch(epoch):
                 rng, sub = jax.random.split(rng)
                 metrics = self.train_step(batch, sub)
                 step = int(self.state.step)
+                if not primary:
+                    if step >= total:
+                        break
+                    continue
                 if step % log_every == 0 or step == 1 or step >= total:
                     loss = float(metrics["loss"])
                     iou = float(metrics["iou"])

@@ -253,7 +253,9 @@ def global_matching_pallas_segmented_mapped(
     p = r_emb.shape[0]
     n_tiles = tile_obj.shape[0]
     tr = p // n_tiles
-    if tr * n_tiles != p or tr % 256:
+    # tr must also be a multiple of the in-kernel chunk (ADVICE r3: the
+    # chunk loop would silently drop tail rows for e.g. tr=768)
+    if tr * n_tiles != p or tr % 256 or tr % min(tr, _CK_SEG):
         raise ValueError(f"bank rows {p} not tile-aligned for {n_tiles} tiles")
 
     mp = _round_up(m, _TM_SEG)
