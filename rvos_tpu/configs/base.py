@@ -151,7 +151,12 @@ class Config:
     #   RPC count, binds, so the simpler per-frame default stands
     TEST_FRAME_CHUNK: int = 5              # fused-eval frames per dispatch (lax.scan chunk);
     #   chunks always cut at MEM_EVERY boundaries so the reference
-    #   bank is loop-invariant inside a chunk; ≤1 disables
+    #   bank is loop-invariant inside a chunk; ≤1 disables.
+    #   Measured guidance (v5e, ROUND_NOTES r4): single-scale eval is
+    #   dispatch-bound -> chunk=5 wins (19.9 -> 25.9 fps); the MF
+    #   multi-scale+flip ensemble is device-FLOP-bound (6 variants =
+    #   8.0x the pixels, 93% of the arithmetic ceiling) -> chunk=1 is
+    #   measured best there (3.88 vs 3.72 fps)
     TEST_D2H_GROUP: int = 8                # predicted masks per D2H download: the saver
     #   thread ships K stacked masks as one transfer (a per-frame
     #   0.4 MB mask D2H costs ~37 ms of tunnel latency — more than the
