@@ -83,7 +83,11 @@ class AOCNet(nn.Module):
             attention_dim=c.attention_head_dim,
             embed_dim=c.MODEL_HEAD_EMBEDDING_DIM,
             refine_dim=c.MODEL_REFINE_CHANNELS,
-            low_level_dim=c.MODEL_LOW_LEVEL_INPLANES,
+            # the reference derives low-level width from the backbone
+            # (deeplab/decoder.py:9-12: resnet 256, mobilenet 24); the
+            # config field only overrides the resnet default
+            low_level_dim=(24 if c.MODEL_BACKBONE == "mobilenet"
+                           else c.MODEL_LOW_LEVEL_INPLANES),
             beta_percentage=c.MODEL_BETA_PERCENTAGE,
             name="dynamic_seghead")
 

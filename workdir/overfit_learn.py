@@ -90,7 +90,7 @@ def evaluate(cfg, model, params, tag):
 
     out = os.path.join(ROOT, f"eval_{tag}")
     os.makedirs(out, exist_ok=True)
-    ds = DAVISTest(ROOT, split="val", year=2017)
+    ds = DAVISTest(ROOT, split=["val"], year=2017)
     ev = Evaluator(cfg, model, {"params": params}, out)
     t0 = time.time()
     ev.evaluating(ds, save_root=out)
