@@ -41,6 +41,12 @@ def build_parser():
                    help="accepted for reference-CLI parity only; a no-op "
                         "here — matching tiles in-kernel (Pallas), so "
                         "host-level chunking never runs")
+    p.add_argument("--min_matching_pixels", type=int, default=-1,
+                   help="reference-parity knob (eval_net_mm_rpa.py:32); "
+                        "here it sets MATCHING_MAX_REF_PIXELS — the "
+                        "fg-union bank compaction cap (rows of reference "
+                        "pixels kept for global matching; 0 disables the "
+                        "cap, -1 keeps the preset default)")
     p.add_argument("--perturb", type=int, default=0,
                    help="Robust-VOS-Benchmark image_type (0-9)")
     p.add_argument("--davis_root", type=str, default="")
@@ -53,6 +59,44 @@ def build_parser():
                         "multi-host eval; all shards share --out)")
     p.add_argument("--shard_num", type=int, default=1)
     return p
+
+
+def apply_args(cfg, args):
+    """Apply parsed eval flags to the config (flag parity with the
+    reference's argparse overrides, ``tools/eval_net_mm_rpa.py:40-72``)."""
+    if args.exp_name:
+        cfg = cfg.replace(EXP_NAME=args.exp_name)
+    if args.dataset:
+        cfg = cfg.replace(TEST_DATASET=args.dataset)
+    if args.mem_every != -1:
+        cfg = cfg.replace(MEM_EVERY=args.mem_every)
+    cfg = cfg.replace(
+        UNC_RATIO=args.ucr,
+        TEST_FLIP=args.flip,
+        TEST_MULTISCALE=tuple(args.ms),
+        TEST_GLOBAL_ATROUS_RATE=args.global_atrous_rate,
+        TEST_GLOBAL_CHUNKS=args.global_chunks,
+    )
+    # dtype policy: the preset default ("mixed" matching + bf16 eval
+    # compute) is the benchmarked fast path; flags override explicitly
+    # instead of silently downgrading (round-1 VERDICT weak #4)
+    if args.parity:
+        cfg = cfg.replace(MATCHING_DTYPE="float32",
+                          EVAL_COMPUTE_DTYPE="float32")
+    if args.float16:
+        cfg = cfg.replace(MATCHING_DTYPE="bfloat16")
+    if args.matching_dtype:
+        cfg = cfg.replace(MATCHING_DTYPE=args.matching_dtype)
+    if args.eval_dtype:
+        cfg = cfg.replace(EVAL_COMPUTE_DTYPE=args.eval_dtype)
+    if args.min_matching_pixels >= 0:
+        cfg = cfg.replace(MATCHING_MAX_REF_PIXELS=args.min_matching_pixels)
+    if args.max_long_edge > 0:
+        cfg = cfg.replace(TEST_MAX_SIZE=float(args.max_long_edge))
+    else:
+        cfg = cfg.replace(TEST_MAX_SIZE=800 * 1.3
+                          if tuple(args.ms) == (1.0,) else 800.0)
+    return cfg
 
 
 class _ShardView:
@@ -99,37 +143,7 @@ def main(argv=None):
     from ..engine.eval import Evaluator
     from ..models.aocnet import init_model
 
-    cfg = get_config(args.config)
-    if args.exp_name:
-        cfg = cfg.replace(EXP_NAME=args.exp_name)
-    if args.dataset:
-        cfg = cfg.replace(TEST_DATASET=args.dataset)
-    if args.mem_every != -1:
-        cfg = cfg.replace(MEM_EVERY=args.mem_every)
-    cfg = cfg.replace(
-        UNC_RATIO=args.ucr,
-        TEST_FLIP=args.flip,
-        TEST_MULTISCALE=tuple(args.ms),
-        TEST_GLOBAL_ATROUS_RATE=args.global_atrous_rate,
-        TEST_GLOBAL_CHUNKS=args.global_chunks,
-    )
-    # dtype policy: the preset default ("mixed" matching + bf16 eval
-    # compute) is the benchmarked fast path; flags override explicitly
-    # instead of silently downgrading (round-1 VERDICT weak #4)
-    if args.parity:
-        cfg = cfg.replace(MATCHING_DTYPE="float32",
-                          EVAL_COMPUTE_DTYPE="float32")
-    if args.float16:
-        cfg = cfg.replace(MATCHING_DTYPE="bfloat16")
-    if args.matching_dtype:
-        cfg = cfg.replace(MATCHING_DTYPE=args.matching_dtype)
-    if args.eval_dtype:
-        cfg = cfg.replace(EVAL_COMPUTE_DTYPE=args.eval_dtype)
-    if args.max_long_edge > 0:
-        cfg = cfg.replace(TEST_MAX_SIZE=float(args.max_long_edge))
-    else:
-        cfg = cfg.replace(TEST_MAX_SIZE=800 * 1.3
-                          if tuple(args.ms) == (1.0,) else 800.0)
+    cfg = apply_args(get_config(args.config), args)
 
     frame_transform = (get_perturbation(args.perturb)
                        if args.perturb else None)

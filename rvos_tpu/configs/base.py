@@ -71,6 +71,7 @@ class Config:
     MODEL_REFINE_CHANNELS: int = 64
     MODEL_LOW_LEVEL_INPLANES: int = 256
     MODEL_EPSILON: float = 1e-5
+    MODEL_ASPP_DROPOUT: float = 0.1        # backbone-ASPP dropout (aspp.py:58)
     MODEL_MATCHING_BACKGROUND: bool = True
     MODEL_GCT_BETA_WD: bool = True
     MODEL_FLOAT16_MATCHING: bool = False   # TPU build uses bfloat16 when enabled

@@ -185,7 +185,16 @@ class DAVISTrain(VOSTrain):
                  full_resolution=False, repeat_time=30, rand_gap=3,
                  curr_len=3, rand_reverse=True, rgb=True, seed=None,
                  image_dtype=np.float32):
-        resolution = "Full-Resolution" if full_resolution else "480p"
+        if full_resolution:
+            resolution = "Full-Resolution"
+            # ref datasets_m.py:209-213: degrade to 480p when the
+            # Full-Resolution tree is absent instead of crashing.
+            if not os.path.exists(os.path.join(root, "JPEGImages",
+                                               resolution)):
+                print("No Full-Resolution, use 480p instead.")
+                resolution = "480p"
+        else:
+            resolution = "480p"
         image_root = os.path.join(root, "JPEGImages", resolution)
         label_root = os.path.join(root, "Annotations", resolution)
         seq_names = []
@@ -320,6 +329,29 @@ class VOSTestSeq:
             self.obj_nums.append(cur_num)
             self.obj_lists.append(list(cur_objs))
 
+        # Label-continuity conversion (the reference's label_convert /
+        # label_backward intent, datasets_m.py:417-431): raw GT ids that
+        # are not contiguous 1..K (e.g. {1, 13}) are compacted in
+        # appearance order so every object gets a model channel; the
+        # evaluator maps predictions back with ``label_backward`` before
+        # saving.  255 (DAVIS void) is never remapped.
+        self.label_convert: Optional[dict] = None
+        self.label_backward: Optional[np.ndarray] = None
+        self._fwd_lut: Optional[np.ndarray] = None
+        raw_ids = [r for r in cur_objs if r != 255]
+        if raw_ids and raw_ids != list(range(1, len(raw_ids) + 1)):
+            self.label_convert = {r: i + 1 for i, r in enumerate(raw_ids)}
+            fwd = np.arange(256, dtype=np.uint8)
+            bwd = np.arange(256, dtype=np.uint8)
+            for r, c in self.label_convert.items():
+                fwd[r] = c
+                bwd[c] = r
+            self._fwd_lut, self.label_backward = fwd, bwd
+            self.obj_lists = [
+                [self.label_convert[r] for r in ol if r != 255]
+                for ol in self.obj_lists]
+            self.obj_nums = [max(ol) if ol else 0 for ol in self.obj_lists]
+
     def __len__(self):
         return len(self.images)
 
@@ -346,6 +378,8 @@ class VOSTestSeq:
             lab = _read_label(lab_path)
             if self.single_obj:
                 lab = (lab > 0).astype(np.uint8)
+            elif self._fwd_lut is not None:
+                lab = self._fwd_lut[lab]
             sample["current_label"] = lab
             if self.all_labels:
                 sample["current_label_all"] = lab
@@ -353,6 +387,8 @@ class VOSTestSeq:
             lab = _read_label(lab_path)
             if self.single_obj:
                 lab = (lab > 0).astype(np.uint8)
+            elif self._fwd_lut is not None:
+                lab = self._fwd_lut[lab]
             sample["current_label_all"] = lab
         return sample
 

@@ -52,17 +52,26 @@ def list_checkpoint_steps(ckpt_dir: str):
 
 def restore_checkpoint(ckpt_dir: str, step: Optional[int], target_state):
     """Restore the given step (or the newest, ref eval_manager :54-66)."""
-    import orbax.checkpoint as ocp
-
     steps = list_checkpoint_steps(ckpt_dir)
     if not steps:
         raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
     step = step if step is not None else steps[-1]
+    return restore_checkpoint_path(
+        _ckpt_path(ckpt_dir, step), target_state), step
+
+
+def restore_checkpoint_path(path: str, target_state):
+    """Restore a checkpoint from an explicit directory path (the
+    reference's named-checkpoint resume, ``train_manager_mm.py:97-99``)."""
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no checkpoint at {path}")
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
-        os.path.abspath(_ckpt_path(ckpt_dir, step)),
+        os.path.abspath(path),
         jax.tree.map(np.asarray, target_state._asdict()))
-    return type(target_state)(**restored), step
+    return type(target_state)(**restored)
 
 
 def partial_restore(params: Dict, loaded_flat: Dict[str, np.ndarray]

@@ -43,8 +43,13 @@ class MaskSaver:
     everything and returns {frame_name: host mask}.
     """
 
-    def __init__(self, save_dir: Optional[str] = None):
+    def __init__(self, save_dir: Optional[str] = None,
+                 remap: Optional[np.ndarray] = None):
         self.save_dir = save_dir
+        # 256-entry uint8 LUT mapping model channel -> raw GT id
+        # (VOSTestSeq.label_backward); applied to device blocks only —
+        # the slow path remaps host-side before submit_single
+        self.remap = remap
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._pending: List = []
 
@@ -62,6 +67,8 @@ class MaskSaver:
         out = {}
         for names, dev in blocks:
             host = np.asarray(dev)
+            if self.remap is not None:
+                host = self.remap[host]
             for i, nm in enumerate(names):
                 arr = host[i]
                 if self.save_dir is not None:

@@ -27,6 +27,7 @@ TPU-native re-design:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -294,6 +295,9 @@ class Trainer:
         cfg = self.cfg
         if cfg.TRAIN_AUTO_RESUME and self._auto_resume():
             return
+        if cfg.TRAIN_RESUME:
+            self._explicit_resume()
+            return
         if cfg.PRETRAIN and cfg.PRETRAIN_MODEL:
             from .checkpoint import load_pretrained
             params, removed, n_loaded = load_pretrained(
@@ -317,6 +321,31 @@ class Trainer:
             print(f"Auto-resumed from step {step} ({ckpt_dir})")
             return True
         return False
+
+    def _explicit_resume(self):
+        """Resume from a named checkpoint — the reference's
+        ``TRAIN_RESUME``/``TRAIN_RESUME_CKPT``/``TRAIN_RESUME_STEP`` trio
+        (``train_manager_mm.py:97-113``).  ``TRAIN_RESUME_CKPT`` is either
+        an integer step in the result ckpt dir or an explicit checkpoint
+        path; ``TRAIN_RESUME_STEP`` (when nonzero) overrides the step the
+        run continues from (the reference defaults it to ckpt+1; here the
+        saved state already carries the post-step counter)."""
+        from .checkpoint import restore_checkpoint, restore_checkpoint_path
+        cfg = self.cfg
+        spec = cfg.TRAIN_RESUME_CKPT
+        if spec is not None and os.path.isdir(str(spec)):
+            self.state = restore_checkpoint_path(str(spec), self.state)
+            step = int(self.state.step)
+        else:
+            ckpt_dir = cfg.result_dirs()["ckpt"]
+            want = int(spec) if spec is not None else None
+            self.state, step = restore_checkpoint(ckpt_dir, want, self.state)
+        if cfg.TRAIN_RESUME_STEP:
+            step = int(cfg.TRAIN_RESUME_STEP)
+            self.state = self.state._replace(step=jnp.asarray(step))
+        if cfg.TRAIN_TOTAL_STEPS <= step:
+            print("Your training has finished!")
+        print(f"Resume from step {step}")
 
     def _build_step(self):
         if self._step_fn is not None:

@@ -69,6 +69,7 @@ class AOCNet(nn.Module):
         c = self.cfg
         self.feature_extracter = DeepLab(c.MODEL_OUTPUT_STRIDE,
                                          c.MODEL_BACKBONE,
+                                         c.MODEL_ASPP_DROPOUT,
                                          name="feature_extracter")
         self.semantic_embedding = SemanticEmbedding(
             c.MODEL_ASPP_OUTDIM, c.MODEL_SEMANTIC_EMBEDDING_DIM,
@@ -78,6 +79,13 @@ class AOCNet(nn.Module):
         self.fg_bias = self.param("fg_bias", nn.initializers.zeros, (1,))
         self.dynamic_prehead = DynamicPreHead(
             c.MODEL_PRE_HEAD_EMBEDDING_DIM, name="dynamic_prehead")
+        if (c.MODEL_BACKBONE == "mobilenet"
+                and c.MODEL_LOW_LEVEL_INPLANES not in (256, 24)):
+            raise ValueError(
+                "MODEL_LOW_LEVEL_INPLANES is derived from the backbone "
+                "(mobilenet low-level features are 24-wide, "
+                "deeplab/decoder.py:9-12); the config override "
+                f"{c.MODEL_LOW_LEVEL_INPLANES} would be silently ignored")
         self.dynamic_seghead = CalibrationDecoding(
             in_dim=c.MODEL_SEMANTIC_EMBEDDING_DIM + c.MODEL_PRE_HEAD_EMBEDDING_DIM,
             attention_dim=c.attention_head_dim,

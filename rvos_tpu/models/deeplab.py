@@ -98,6 +98,7 @@ class DeepLab(nn.Module):
     """
     output_stride: int = 16
     backbone: str = "resnet"
+    dropout_rate: float = 0.1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True
@@ -109,6 +110,7 @@ class DeepLab(nn.Module):
         else:
             feats, low_level = ResNet101(self.output_stride,
                                          name="backbone")(x)
-        aspp = DeepLabASPP(name="aspp")(feats, deterministic=deterministic)
+        aspp = DeepLabASPP(dropout_rate=self.dropout_rate,
+                           name="aspp")(feats, deterministic=deterministic)
         out = DeepLabDecoder(name="decoder")(aspp, low_level)
         return out, low_level

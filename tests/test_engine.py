@@ -80,8 +80,11 @@ def test_train_learns_through_burnin_branch():
     phase, train_manager_mm.py:253-263) — and the loss on a trivially
     learnable dataset must still go down through that branch.
 
-    TRAIN_HARD_MINING_STEP=1 keeps the loss METRIC constant across the
-    window (top-15% hardest pixels from step 1): with the default ramp
+    TRAIN_HARD_MINING_STEP=1 keeps the loss METRIC near-constant
+    across the window (the very first step still averages 100% of the
+    pixels — the step counter starts at 0, so ratio=0 in
+    hard_mining_ce — and every later step takes the top-15%): with the
+    default ramp
     the per-pixel average is taken over a shrinking, ever-harder pixel
     subset, so early full-pixel losses are incomparably SMALLER than
     late hard-mined ones even while the model learns.  This also
@@ -116,7 +119,9 @@ def test_train_learns_through_burnin_branch():
         f"no learning through the burn-in branch: first10={first:.4f} "
         f"last10={last:.4f} losses={np.round(losses, 3).tolist()}")
     iou_first, iou_last = np.mean(ious[:10]), np.mean(ious[-10:])
-    assert iou_last > iou_first + 0.05, (
+    # measured delta on this seed: +0.089; threshold 0.03 leaves >2x
+    # headroom against numeric drift (ADVICE r4)
+    assert iou_last > iou_first + 0.03, (
         f"train IoU flat through the burn-in branch: "
         f"first10={iou_first:.4f} last10={iou_last:.4f}")
 

@@ -28,8 +28,19 @@ def test_cli_parsers_build():
 
     a = eval_parser().parse_args(["--dataset", "davis2017", "--mem_every", "5",
                                   "--ucr", "0.5", "--ms", "1.0", "1.3",
-                                  "--flip", "--perturb", "3"])
+                                  "--flip", "--perturb", "3",
+                                  "--min_matching_pixels", "4096"])
     assert a.dataset == "davis2017" and a.flip and a.perturb == 3
+    # --min_matching_pixels (eval_net_mm_rpa.py:32 parity) maps onto the
+    # fg-union bank-compaction cap; 0 disables, -1 keeps the preset
+    from rvos_tpu.cli.eval import apply_args as eval_apply
+    from rvos_tpu.configs import get_config as _gc
+    ecfg = eval_apply(_gc("tiny_test"), a)
+    assert ecfg.MATCHING_MAX_REF_PIXELS == 4096
+    a0 = eval_parser().parse_args([])
+    default_cap = _gc("tiny_test").MATCHING_MAX_REF_PIXELS
+    assert eval_apply(_gc("tiny_test"), a0).MATCHING_MAX_REF_PIXELS \
+        == default_cap
 
     t = train_parser().parse_args(["--total_step", "1000", "--lr", "0.2",
                                    "--gpu_num", "4", "--float16"])

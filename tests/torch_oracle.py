@@ -41,6 +41,8 @@ EPS = 1e-5
 
 
 def _t(a):
+    if isinstance(a, torch.Tensor):      # differentiable train-oracle path
+        return a
     return torch.from_numpy(np.array(a, copy=True)).float()
 
 
@@ -413,9 +415,15 @@ def _ia_logit(sd, p, x, head):
     return torch.einsum("ochw,oc->ohw", x, weight) + bias[:, None, None]
 
 
-def calibration_decoding(sd, x, head, low_level, beta_pct, refine_dim=64):
-    """decoding_module.py:96-225 with the §2.9 fixes; empty 2-slot memory
-    (first frame: both slots self-initialized)."""
+def calibration_decoding(sd, x, head, low_level, beta_pct, refine_dim=64,
+                         memory=(None, None)):
+    """decoding_module.py:96-225 with the §2.9 fixes.
+
+    ``memory``: the 2-slot per-video feature memory (None slots fall
+    back to the current features, decoding_module.py:133-140).  Returns
+    ``(fg_logits, new_memory)`` where new_memory = [post-ASPP features
+    of THIS frame (detached), slot-1 unchanged once set]
+    (decoding_module.py:148)."""
     p = "dynamic_seghead"
     x = _ia_gate(sd, p + ".IA1", x, head)
     x = _gn_bottleneck(sd, p + ".layer1", x)
@@ -433,9 +441,13 @@ def calibration_decoding(sd, x, head, low_level, beta_pct, refine_dim=64):
     x = _ia_gate(sd, p + ".IA9", x, torch.cat([head, delta], dim=1))
     x = _gn_aspp(sd, p + ".ASPP", x)
 
-    # empty memory: slot 0 and 1 both fall back to the current features
-    x = _modulator(sd, p + ".M1", x, x, head)
-    x = _modulator(sd, p + ".M2", x, x, head)
+    x_cur_1 = x.detach()
+    mem0 = x_cur_1 if memory[0] is None else memory[0]
+    x = _modulator(sd, p + ".M1", x, mem0, head)
+    x_cur_2 = x.detach()
+    mem1 = x_cur_2 if memory[1] is None else memory[1]
+    x = _modulator(sd, p + ".M2", x, mem1, head)
+    new_memory = (x_cur_1, mem1)
 
     # decoder_final (decoding_module.py:162-190)
     x = F.interpolate(x, size=low_level.shape[2:], mode="bicubic",
@@ -461,7 +473,7 @@ def calibration_decoding(sd, x, head, low_level, beta_pct, refine_dim=64):
     if o > 1:
         aug = bg[1:].min(dim=0).values
         fg = torch.cat([(fg[0] + aug)[None], fg[1:]], dim=0)
-    return fg                                                     # [O, h, w]
+    return fg, new_memory                                         # [O, h, w]
 
 
 # ---------------------------------------------------------------------------
@@ -534,9 +546,9 @@ def _torch_full_forward(sd, imgs, labels, cfg, kmeans_uniforms):
     cur_rep = cur_emb[None].expand(o, -1, -1, -1)
     x = torch.cat([cur_rep, pre], dim=1)                          # [O,164,h,w]
 
-    logits = calibration_decoding(sd, x, head, cur_low,
-                                  cfg.MODEL_BETA_PERCENTAGE,
-                                  cfg.MODEL_REFINE_CHANNELS)
+    logits, _ = calibration_decoding(sd, x, head, cur_low,
+                                     cfg.MODEL_BETA_PERCENTAGE,
+                                     cfg.MODEL_REFINE_CHANNELS)
     return {
         "emb": emb.numpy(), "low": low.numpy(),
         "global_fg": global_fg.view(h, w, o, 1).numpy(),
@@ -546,3 +558,192 @@ def _torch_full_forward(sd, imgs, labels, cfg, kmeans_uniforms):
         "head": head.numpy(), "maps": maps.numpy(),
         "logits": logits.numpy(),
     }
+
+
+# ---------------------------------------------------------------------------
+# training path (VERDICT r4 next #4)
+# ---------------------------------------------------------------------------
+
+def reference_hard_mining_ce(logits, gts, step, top_k_percent=0.15,
+                             hard_mining_step=50_000):
+    """EXACT reference ``Concat_CrossEntropyLoss`` semantics
+    (``networks/layers/loss.py:52-97``): per-pixel CE with
+    ``ignore_index=255`` and ``reduction='none'``, then ``torch.topk``
+    over the flattened pixels with k annealed 100%→``top_k_percent``
+    over ``hard_mining_step`` steps, loss = mean of the k selected
+    entries.
+
+    Documented divergence vs ``rvos_tpu.engine.loss.hard_mining_ce``:
+    ignored (255) pixels contribute 0-loss entries to the reference's
+    top-k pool, so whenever k exceeds the number of non-ignored pixels
+    the reference mean is diluted by zeros while the rebuild averages
+    over the actually-selected valid pixels only.  The two agree exactly
+    whenever k <= #valid pixels (always true once the anneal leaves the
+    first few hundred steps, and always true when no 255s exist).
+
+    logits: [O, H, W] torch; gts: [H, W] long. Returns scalar tensor.
+    """
+    o, h, w = logits.shape
+    num_pixels = float(h * w)
+    pred = logits.reshape(1, o, h * w)
+    gt = gts.reshape(1, h * w)
+    pixel_losses = F.cross_entropy(pred, gt, ignore_index=255,
+                                   reduction="none")              # [1, HW]
+    if hard_mining_step == 0:
+        top_k_pixels = int(top_k_percent * num_pixels)
+    else:
+        ratio = min(1.0, step / float(hard_mining_step))
+        top_k_pixels = int((ratio * top_k_percent + (1.0 - ratio))
+                           * num_pixels)
+    top_k_loss, _ = torch.topk(pixel_losses, k=top_k_pixels, dim=1)
+    return torch.mean(top_k_loss)
+
+
+def _nearest_idx(out_size, in_size):
+    """torch-'nearest' source indices: src = floor(dst * in/out)."""
+    return np.minimum((np.arange(out_size) * (in_size / out_size))
+                      .astype(np.int64), in_size - 1)
+
+
+def _downscale_label_t(lab, hw):
+    """Nearest-downscale a [H, W] torch/numpy label map to ``hw``
+    (mirrors ``rvos_tpu.ops.resize.resize_hw(mode='nearest')``)."""
+    h, w = hw
+    iy = _nearest_idx(h, lab.shape[0])
+    ix = _nearest_idx(w, lab.shape[1])
+    return lab[iy][:, ix]
+
+
+def _segment_frame_t(sd, cfg, o, cur_emb, cur_low, ref_flat, ref_lab_flat,
+                     prev_emb, prev_lab_small, obj_valid_t, memory,
+                     uniforms):
+    """One training-frame matching + decode in torch — the oracle twin of
+    ``AOCNet.segment_frame(train=True)`` (``networks/aoc/aocnet.py:
+    140-367``): single-slot reference bank (the ref frame), train atrous
+    rates, k-means on DETACHED bank embeddings (``matching.py:289``).
+    Differentiable end-to-end; returns (logits [O,h,w], new_memory)."""
+    c, h, w = cur_emb.shape
+    bias = torch.cat([_t(sd["bg_bias"]), _t(sd["fg_bias"]).expand(o - 1)])
+
+    prev_onehot = F.one_hot(prev_lab_small.long(), o).float() \
+        * obj_valid_t[None, None, :]                              # [h,w,O]
+    q = cur_emb.permute(1, 2, 0).reshape(h * w, c)
+    p_flat = prev_emb.permute(1, 2, 0).reshape(h * w, c)
+    p_lab_flat = prev_onehot.reshape(h * w, o)
+
+    global_fg = global_matching(q, ref_flat, ref_lab_flat, bias)
+    global_cluster = cluster_matching(
+        q, ref_flat.detach(), ref_lab_flat.detach(), bias, _t(uniforms),
+        cfg.MODEL_CLUSTER_NUM, cfg.MODEL_KMEANS_ITERS)
+
+    head, ref_pos, prev_pos = attention_heads(
+        ref_flat, ref_lab_flat, p_flat, p_lab_flat, cfg.MODEL_EPSILON)
+    global_proxy = proxy_matching(q, ref_pos, bias)
+    prev_inst = (p_lab_flat @ prev_pos).reshape(h, w, c)
+
+    radii = tuple(cfg.MODEL_MULTI_LOCAL_DISTANCE)
+    cur_hwc = cur_emb.permute(1, 2, 0)
+    local_fg = local_matching(cur_hwc, prev_emb.permute(1, 2, 0),
+                              prev_onehot, bias, radii,
+                              cfg.MODEL_LOCAL_DOWNSAMPLE,
+                              cfg.TRAIN_LOCAL_ATROUS_RATE)
+    local_proxy = local_matching(cur_hwc, prev_inst, prev_onehot, bias,
+                                 radii, cfg.MODEL_LOCAL_DOWNSAMPLE,
+                                 cfg.TRAIN_LOCAL_ATROUS_RATE)
+
+    parts = [global_fg.view(h, w, o, 1), global_cluster.view(h, w, o, 2),
+             global_proxy.view(h, w, o, 1), local_fg, local_proxy,
+             prev_onehot[..., None]]
+    if cfg.MODEL_MATCHING_BACKGROUND:
+        parts.append(foreground2background(local_fg))
+        parts.append(foreground2background(global_fg.view(h, w, o, 1)))
+    maps = torch.cat(parts, dim=-1).permute(2, 3, 0, 1)           # [O,n,h,w]
+
+    pre = _conv(sd, "dynamic_prehead.conv", maps)
+    pre = F.relu(_gn(sd, "dynamic_prehead.bn", pre,
+                     cfg.MODEL_PRE_HEAD_EMBEDDING_DIM // 4))
+    x = torch.cat([cur_emb[None].expand(o, -1, -1, -1), pre], dim=1)
+
+    logits, new_memory = calibration_decoding(
+        sd, x, head, cur_low, cfg.MODEL_BETA_PERCENTAGE,
+        cfg.MODEL_REFINE_CHANNELS, memory)
+    logits = torch.where(obj_valid_t[:, None, None] > 0, logits,
+                         torch.full_like(logits, -1e9))
+    return logits, new_memory
+
+
+def torch_train_loss(sd, batch, cfg, o, step, kmeans_uniforms):
+    """Training-rollout oracle of ``make_train_step``'s ``loss_fn``
+    (reference ``Trainer.sequential_training``,
+    ``networks/engine/train_manager_mm.py:182-317``): T-frame rollout,
+    burn-in previous-mask substitution after
+    ``TRAIN_START_SEQ_TRAINING_STEPS`` (``:253-263``), per-frame
+    hard-mining CE at input resolution (``:264-284``), rollout-mean
+    loss.  Fully differentiable via torch autograd (``sd`` values may be
+    ``requires_grad`` tensors).
+
+    batch: numpy dict (batch size 1) — ref_img/prev_img [1,H,W,3]
+    normalized float, ref_label/prev_label [1,H,W], curr_img
+    [T,1,H,W,3], curr_label [T,1,H,W], obj_num [1].
+    kmeans_uniforms: [T, O, R] shared PRNG draws (R = ref-bank rows).
+    Returns (loss, [per-frame losses]).
+    """
+    t_len = batch["curr_img"].shape[0]
+    imgs = np.concatenate([batch["ref_img"], batch["prev_img"],
+                           batch["curr_img"][:, 0]], axis=0)
+    imgs_nchw = _t(imgs).permute(0, 3, 1, 2)
+    emb, low = extract_feature(sd, imgs_nchw, cfg.MODEL_GN_GROUPS,
+                               cfg.MODEL_GN_EMB_GROUPS)
+    ref_emb, prev_emb = emb[0], emb[1]
+    c, h, w = ref_emb.shape
+    full_hw = batch["ref_img"].shape[1:3]
+
+    obj_valid = (np.arange(o) <= int(batch["obj_num"][0])).astype(np.float32)
+    obj_valid_t = _t(obj_valid)
+
+    # single-slot reference bank: the ref frame at TRAIN_GLOBAL_ATROUS_RATE
+    g = cfg.TRAIN_GLOBAL_ATROUS_RATE
+    ref_lab_small = _downscale_label_t(batch["ref_label"][0], (h, w))
+    ref_onehot = F.one_hot(_t(np.asarray(ref_lab_small)).long(), o).float() \
+        * obj_valid_t[None, None, :]
+    ref_g = ref_emb.permute(1, 2, 0)[::g, ::g]
+    ref_lab_g = ref_onehot[::g, ::g]
+    ref_flat = ref_g.reshape(-1, c)
+    ref_lab_flat = ref_lab_g.reshape(-1, o)
+
+    prev_l_gt = _t(np.asarray(
+        _downscale_label_t(batch["prev_label"][0], (h, w)))).long()
+    prev_l_pred = prev_l_gt
+    prev_e = prev_emb
+    memory = (None, None)
+    use_pred = step > cfg.TRAIN_START_SEQ_TRAINING_STEPS
+
+    losses = []
+    for t in range(t_len):
+        cur_emb, cur_low = emb[2 + t], low[2 + t][None]
+        if cfg.TRAIN_SEQ_GRADIENT == "detach":
+            prev_e = prev_e.detach()
+        prev_l = prev_l_pred if use_pred else prev_l_gt
+
+        logits, memory = _segment_frame_t(
+            sd, cfg, o, cur_emb, cur_low, ref_flat, ref_lab_flat,
+            prev_e, prev_l, obj_valid_t, memory, kmeans_uniforms[t])
+
+        logits_full = F.interpolate(logits[None], size=tuple(full_hw),
+                                    mode="bilinear",
+                                    align_corners=True)[0]       # [O,H,W]
+        gts = _t(batch["curr_label"][t, 0].astype(np.int64)).long()
+        losses.append(reference_hard_mining_ce(
+            logits_full, gts, step, cfg.TRAIN_TOP_K_PERCENT_PIXELS,
+            cfg.TRAIN_HARD_MINING_STEP))
+
+        pred_full = logits_full.argmax(dim=0)                    # [H, W]
+        iy = _nearest_idx(h, full_hw[0])
+        ix = _nearest_idx(w, full_hw[1])
+        prev_l_pred = pred_full[iy][:, ix].detach()
+        prev_l_gt = _t(np.asarray(_downscale_label_t(
+            batch["curr_label"][t, 0], (h, w)))).long()
+        prev_e = cur_emb
+
+    loss = torch.stack(losses).mean()
+    return loss, losses
