@@ -305,8 +305,15 @@ def _e2e_bench(cfg, ev, n_frames: int = 60):
     ev.evaluate_sequence(VOSTestSeq(img_root, lab_root, seq, names[:8],
                                     ["00000.png"], True, False, None),
                          save_dir=save_dir)
-    return max(ev.evaluate_sequence(seq_ds, save_dir=save_dir)["fps"]
-               for _ in range(2))
+    best = None
+    for _ in range(2):
+        out = ev.evaluate_sequence(seq_ds, save_dir=save_dir)
+        tm = {k: round(v, 3) for k, v in out["timing"].items()}
+        _log(f"bench: e2e run {out['fps']:.2f} fps, wall {out['time']:.2f}s"
+             f" for {out['frames']} frames, attribution {tm}")
+        if best is None or out["fps"] > best["fps"]:
+            best = out
+    return best["fps"]
 
 
 if __name__ == "__main__":

@@ -20,7 +20,8 @@ class Config:
     EXP_NAME: str = "aoc_stage_1"
 
     # ---- evaluator / RPA memory (reference configs/resnet101_aocnet.py:15-21)
-    EVAL_AUTO_RESUME: bool = False
+    EVAL_AUTO_RESUME: bool = False  # schema-parity only: dead in the
+    #   reference too (declared configs/resnet101_aocnet.py, never read)
     UNC_RATIO: float = 1.0          # Shannon-entropy gate for confident masks
     MEM_EVERY: int = 5              # append to memory bank every N frames (-1: off)
     PAST_FRAME_NUM: int = 4
@@ -74,7 +75,9 @@ class Config:
     MODEL_ASPP_DROPOUT: float = 0.1        # backbone-ASPP dropout (aspp.py:58)
     MODEL_MATCHING_BACKGROUND: bool = True
     MODEL_GCT_BETA_WD: bool = True
-    MODEL_FLOAT16_MATCHING: bool = False   # TPU build uses bfloat16 when enabled
+    MODEL_FLOAT16_MATCHING: bool = False   # live alias: True forces bfloat16
+    #   matching (see Config.matching_dtype; TPU analogue of the
+    #   reference's fp16 matching switch)
     MODEL_FREEZE_BN: bool = True
     MODEL_FREEZE_BACKBONE: bool = False
     MODEL_CLUSTER_NUM: int = 16            # AOP k-means k (matching.py:232)
@@ -99,6 +102,9 @@ class Config:
     TRAIN_TOP_K_PERCENT_PIXELS: float = 0.15
     TRAIN_HARD_MINING_STEP: int = 25_000
     TRAIN_CLIP_GRAD_NORM: float = 5.0
+    TRAIN_SKIP_NONFINITE: bool = True  # skip optimizer updates on inf/nan
+    #   grads (GradScaler-skip analogue; clip-by-norm alone propagates a
+    #   nonfinite norm into every param)
     TRAIN_SAVE_STEP: int = 2000
     TRAIN_MAX_KEEP_CKPT: int = 8
     TRAIN_RESUME: bool = False
@@ -163,6 +169,12 @@ class Config:
     #   0.4 MB mask D2H costs ~37 ms of tunnel latency — more than the
     #   device step — so an unbatched saver falls behind and the
     #   sequence pays it all again in the drain tail)
+    TEST_ENSEMBLE_SHARD: bool = True       # multi-scale/flip eval ensemble sharded across
+    #   local devices (scale group per device, or one variant per device
+    #   when devices suffice); activates only with >1 visible device and
+    #   no context-parallel mesh.  The MF ensemble is FLOP-bound at 93%
+    #   of the single-chip ceiling (ROUND_NOTES r4), so cross-chip
+    #   variant parallelism is the remaining 6-8x lever on a pod.
     MESH_MODEL_AXIS: int = 1               # context-parallel matching shards (query rows)
     MESH_DATA_AXIS: int = 8                # data-parallel mesh size for training
     CHECKPOINT_DIR: str = ""
@@ -187,6 +199,16 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def matching_dtype(self) -> str:
+        """Resolved matching precision. ``MODEL_FLOAT16_MATCHING`` (the
+        reference's fp16-matching switch, matching.py:2331) is a live
+        alias: its TPU analogue is full-bfloat16 matching, overriding
+        ``MATCHING_DTYPE``."""
+        if self.MODEL_FLOAT16_MATCHING:
+            return "bfloat16"
+        return self.MATCHING_DTYPE
 
     def result_dirs(self) -> dict:
         root = self.DIR_RESULT or os.path.join(self.DIR_ROOT, "result", self.EXP_NAME)

@@ -196,6 +196,7 @@ class _AugState:
                                           dtype)
         self.ring_ptr = 1      # slot 0 pinned to the first frame
         self.capacity = capacity
+        self.device = None     # sharded-ensemble pinning (None = default)
         # precompacted flat bank cache (refreshed by the Evaluator when
         # the bank or the object-validity set changes)
         self.flat_emb = None
@@ -219,10 +220,31 @@ class _AugState:
 
 
 class Evaluator:
+    # segment_frame reads the MODEL's captured config; the Evaluator
+    # prepares the bank with ITS config.  A silent mismatch on these
+    # fields produces wrong-layout banks or shape crashes deep inside
+    # jit (observed: cap-off Evaluator cfg + cap-on model cfg routed a
+    # raw 75272-row bank into the segmented kernel) — so check loudly.
+    _MODEL_CFG_FIELDS = (
+        "MATCHING_MAX_REF_PIXELS", "MATCHING_SEGMENTED_BANK",
+        "MATCHING_OCCUPANCY_BANK", "MATCHING_DTYPE",
+        "MODEL_FLOAT16_MATCHING", "USE_PALLAS",
+        "USE_PALLAS_LOCAL", "TEST_GLOBAL_ATROUS_RATE",
+        "TEST_LOCAL_ATROUS_RATE", "MODEL_MAX_OBJ_NUM",
+        "MODEL_CLUSTER_NUM", "MODEL_KMEANS_ITERS", "MESH_MODEL_AXIS")
+
     def __init__(self, cfg: Config, model: AOCNet, variables,
                  result_root: str = ""):
         self.cfg = cfg
         self.model = model
+        for f in self._MODEL_CFG_FIELDS:
+            if getattr(model.cfg, f) != getattr(cfg, f):
+                raise ValueError(
+                    f"Evaluator cfg.{f}={getattr(cfg, f)!r} but the model "
+                    f"was built with {getattr(model.cfg, f)!r}; "
+                    f"segment_frame uses the model's config — rebuild the "
+                    f"model with this config (AOCNet(cfg); params are "
+                    f"layout-compatible across these fields)")
         # bf16 eval compute on TPU (cfg.EVAL_COMPUTE_DTYPE): params cast
         # once; flax norm layers keep f32 statistics internally.  The
         # reference's analogous switch is fp16 matching
@@ -244,6 +266,26 @@ class Evaluator:
         self.use_fused = getattr(cfg, "TEST_FUSED_POSTPROCESS", True)
         from ..parallel.mesh import cp_mesh
         self._cp_mesh = cp_mesh(cfg)   # context-parallel matching mesh
+        # device-sharded MF ensemble (reference averages 6 variants on
+        # ONE GPU, eval_manager_mm.py:318-320): with >1 local device and
+        # no context-parallel mesh, the eval variants are partitioned
+        # across devices — scale group per device, or one variant per
+        # device when devices suffice.  Each partition's streaming state
+        # and a params replica are pinned to its device; dispatches fan
+        # out asynchronously (the scale groups have DIFFERENT image
+        # shapes, so one SPMD mesh program cannot express this —
+        # "MPMD-lite" via JAX's committed-placement dispatch), and the
+        # per-variant probability sums meet on the primary device for
+        # the fused postprocess.  The MF path is FLOP-bound at 93% of
+        # the single-chip ceiling (ROUND_NOTES r4), so cross-chip
+        # variant parallelism is the remaining 6-8x pod lever.
+        self.ens_devices = None
+        if (getattr(cfg, "TEST_ENSEMBLE_SHARD", True)
+                and self._cp_mesh is None):
+            devs = jax.local_devices()
+            if len(devs) > 1:
+                self.ens_devices = devs
+        self._vars_by_dev = {}
         self._embed_jit = {}
         self._step_jit = {}
         self._precompact_jit = {}
@@ -285,8 +327,45 @@ class Evaluator:
                 jnp.asarray(obj_valid, jnp.float32))
         state._flat_key = key
 
+    def _vars_on(self, dev):
+        """Params replica committed to ``dev`` (sharded-ensemble mode);
+        one ``device_put`` per device, cached for the Evaluator's life."""
+        if dev is None:
+            return self.variables
+        if dev not in self._vars_by_dev:
+            self._vars_by_dev[dev] = jax.device_put(self.variables, dev)
+        return self._vars_by_dev[dev]
+
+    def _ens_partitions(self, variants):
+        """Partition the eval variants over local devices.
+
+        Returns ``[(members, group, device)]`` where ``members`` is the
+        partition's ``(variant_idx, var)`` list (all one scale),
+        ``group`` is the FULL scale group (its unflipped member owns the
+        uploaded image), and ``device`` is the partition's pinned device
+        (``None`` in unsharded mode).  Granularity: one variant per
+        device when ``n_dev >= n_variants`` (a flip twin then recomputes
+        its backbone instead of sharing the batched pass — that is the
+        point: more parallelism), else one scale group per device,
+        round-robin when groups outnumber devices.  Deterministic in the
+        variant order, so frame 0 and every later frame agree on the
+        variant -> device pinning."""
+        groups: Dict = {}
+        for i, var in enumerate(variants):
+            groups.setdefault(var["scale"], []).append((i, var))
+        members_l = list(groups.values())
+        devs = self.ens_devices
+        if devs is None or len(variants) < 2:
+            return [(m, m, None) for m in members_l]
+        if len(devs) >= len(variants):
+            parts = [([im], m) for m in members_l for im in m]
+        else:
+            parts = [(m, m) for m in members_l]
+        return [(mem, grp, devs[p % len(devs)])
+                for p, (mem, grp) in enumerate(parts)]
+
     # -- jitted device functions ------------------------------------------
-    def _embed(self, img):
+    def _embed(self, img, variables=None):
         key = img.shape
         if key not in self._embed_jit:
             cdt = self.compute_dtype
@@ -296,10 +375,17 @@ class Evaluator:
                     method=AOCNet.extract_feature))
         from ..parallel.mesh import ambient_mesh_ctx
         with ambient_mesh_ctx(self._cp_mesh):
-            emb, low = self._embed_jit[key](self.variables, img)
+            emb, low = self._embed_jit[key](
+                self.variables if variables is None else variables, img)
         return emb[0], low[0]
 
     def _step(self, img, state: _AugState, obj_valid, frame_idx, ori_hw):
+        # a device-pinned state (sharded ensemble) must meet a params
+        # replica on ITS device — mixing committed placements in one jit
+        # call is an error by JAX's placement rules
+        variables = self._vars_on(state.device)
+        if state.device is not None:
+            img = jax.device_put(img, state.device)
         key = (img.shape, tuple(ori_hw))
         if key not in self._step_jit:
             o = self.cfg.MODEL_MAX_OBJ_NUM
@@ -336,7 +422,7 @@ class Evaluator:
         from ..parallel.mesh import ambient_mesh_ctx
         with ambient_mesh_ctx(self._cp_mesh):
             return self._step_jit[key](
-                self.variables, img, state.ref_emb, state.ref_lab,
+                variables, img, state.ref_emb, state.ref_lab,
                 state.slot_valid, state.prev_emb, state.prev_lab, obj_valid,
                 state.memory.slots, state.memory.valid,
                 np.int32(frame_idx),
@@ -482,7 +568,7 @@ class Evaluator:
 
     # -- batched ensemble path (multi-scale / flip) ------------------------
     def _step_ensemble(self, img, states, flips, obj_valid, frame_idx,
-                       ori_hw):
+                       ori_hw, variables=None):
         """One jitted step for a scale group: ``img`` is the UNFLIPPED
         scale image — the flip variant is materialized on device (free);
         the backbone runs batched over the group, matching/decoding per
@@ -538,8 +624,9 @@ class Evaluator:
                for s in states]
         from ..parallel.mesh import ambient_mesh_ctx
         with ambient_mesh_ctx(self._cp_mesh):
-            return self._step_jit[key](self.variables, img, sts, obj_valid,
-                                       np.int32(frame_idx))
+            return self._step_jit[key](
+                self.variables if variables is None else variables,
+                img, sts, obj_valid, np.int32(frame_idx))
 
     def _step_ensemble_chunk(self, imgs_by_group, states_by_group,
                              flips_by_group, obj_valid, exist_mask,
@@ -884,6 +971,52 @@ class Evaluator:
             d2h.append((nm,), pred_u8[None])
             d2h.maybe_flush()
 
+        def run_ens_frame_sharded(f, nm, variants, ov_np, em_np, o_hw):
+            """One ensemble frame fanned out across local devices: each
+            partition (scale group / single variant) dispatches on its
+            pinned device with its own params replica; the per-partition
+            probability sums hop to the primary device and reduce there;
+            the fused postprocess + D2H run on the primary; each
+            partition downscales the joint prediction back on ITS device
+            so every state stays device-local for the next frame."""
+            parts = self._ens_partitions(variants)
+            primary = self.ens_devices[0]
+            partials, upds = [], []
+            for mem, grp, dev in parts:
+                idxs = [i for i, _ in mem]
+                flips = tuple(bool(v["flip"]) for _, v in mem)
+                base = next(v for _, v in grp if not v["flip"])
+                img = jax.device_put(_var_dev(base), dev)
+                for i in idxs:
+                    self._ensure_flat(states[i], ov_np)
+                probs_sum, updates = self._step_ensemble(
+                    img, [states[i] for i in idxs], flips, dev_vec(ov_np),
+                    f, o_hw, variables=self._vars_on(dev))
+                partials.append(jax.device_put(probs_sum, primary))
+                upds.append((idxs, flips, dev, updates))
+            total = partials[0]
+            for p in partials[1:]:
+                total = total + p
+            n_var = len(variants)
+            pred_u8, conf_i32 = self._post_ensemble(total, n_var,
+                                                    dev_vec(em_np))
+            update_mem = self._mem_boundary(f)
+            for idxs, flips, dev, updates in upds:
+                pred_d = jax.device_put(pred_u8, dev)
+                conf_d = jax.device_put(conf_i32, dev)
+                for j, i in enumerate(idxs):
+                    st = states[i]
+                    st.prev_emb = updates[j]["emb"]
+                    st.memory = DecoderMemory(updates[j]["mem_slots"],
+                                              updates[j]["mem_valid"])
+                    ps, cs = self._downscale_pair(
+                        pred_d, conf_d, st.prev_emb.shape[:2], flips[j])
+                    st.prev_lab = ps
+                    if update_mem:
+                        st.add_ref(st.prev_emb, cs)
+            d2h.append((nm,), pred_u8[None])
+            d2h.maybe_flush()
+
         def _ens_full(buf, ctx):
             idxs_by_group = ctx["idxs"]
             flips_by_group = ctx["flips"]
@@ -986,6 +1119,21 @@ class Evaluator:
             # MEM_EVERY-aligned scans (VERDICT r2 weak #5)
             if (self.use_fused and frame_idx > 0 and join_label is None
                     and len(states) == len(variants)):
+                if self.ens_devices is not None and len(variants) > 1:
+                    # device-sharded path: per-frame fan-out (the K-frame
+                    # chunk scan sums across variants INSIDE the scan, so
+                    # it cannot split across devices without a per-frame
+                    # collective; chunk=1 is the measured-best MF config
+                    # anyway, ROUND_NOTES r4)
+                    run_ens_frame_sharded(
+                        frame_idx, meta["current_name"], variants,
+                        obj_valid_np, exist_mask, (ori_h, ori_w))
+                    seq_frames += 1
+                    if verbose:
+                        print(f"Frame {meta['current_name']} "
+                              f"obj={obj_num} [ens-shard x{len(variants)}] "
+                              f"t={time.time() - t_start:.3f}s")
+                    continue
                 groups: Dict = {}
                 for i, var in enumerate(variants):
                     groups.setdefault(var["scale"], []).append((i, var))
@@ -1020,16 +1168,31 @@ class Evaluator:
             # ... and buffered ensemble frames too
             ens_chunks.flush()
 
+            # sharded-ensemble variant -> device pinning (frame 0 creates
+            # each state on the device its partition will run on)
+            var_dev = {}
+            if (self.ens_devices is not None and frame_idx == 0
+                    and len(variants) > 1):
+                for mem, _, dev in self._ens_partitions(variants):
+                    for i, _ in mem:
+                        var_dev[i] = dev
+
             for aug_idx, var in enumerate(variants):
                 img = _var_dev(var)
                 if frame_idx == 0:
-                    emb, _ = self._embed(img)
+                    if var_dev.get(aug_idx) is not None:
+                        img = jax.device_put(img, var_dev[aug_idx])
+                        emb, _ = self._embed(
+                            img, variables=self._vars_on(var_dev[aug_idx]))
+                    else:
+                        emb, _ = self._embed(img)
                     h, w = emb.shape[:2]
                     mem_hw = ((h + 1) // 2, (w + 1) // 2)
                     st = _AugState(cfg.TEST_BANK_CAPACITY, h, w,
                                    emb.shape[-1], o, mem_hw,
                                    cfg.MODEL_HEAD_EMBEDDING_DIM,
                                    self.compute_dtype)
+                    st.device = var_dev.get(aug_idx)
                     lab = current_label_full
                     if var["flip"]:
                         lab = lab[:, ::-1]

@@ -212,11 +212,29 @@ def make_train_step(cfg: Config, model: AOCNet, tx):
     def train_step(state: TrainState, batch, rng):
         (loss, (losses, ious, last_pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, state.step, rng)
+        grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if cfg.TRAIN_SKIP_NONFINITE:
+            # One inf/nan batch (e.g. an eps-normalized zero-pixel
+            # object in a degenerate crop) must not poison the params
+            # forever: clip-by-global-norm scales by a NONFINITE norm,
+            # so without this guard a single bad step turns every
+            # parameter NaN and the run silently flatlines (observed:
+            # workdir/genab_train.log step 158).  The reference's
+            # analogue is torch.cuda.amp.GradScaler's skip-on-inf
+            # (train_manager_mm.py fp16 path); here the guard is
+            # dtype-independent and costs one select per tensor.
+            ok = jnp.isfinite(grad_norm)
+            new_params = jax.tree.map(
+                lambda n, old: jnp.where(ok, n, old), new_params,
+                state.params)
+            new_opt = jax.tree.map(
+                lambda n, old: jnp.where(ok, n, old)
+                if hasattr(n, "dtype") else n, new_opt, state.opt_state)
         metrics = {"loss": loss, "seq_losses": losses,
                    "iou": jnp.mean(ious),
-                   "grad_norm": optax.global_norm(grads),
+                   "grad_norm": grad_norm,
                    "pred": last_pred}
         return TrainState(new_params, new_opt, state.step + 1), metrics
 

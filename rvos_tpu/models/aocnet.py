@@ -142,8 +142,9 @@ class AOCNet(nn.Module):
         h, w, _ = current_emb.shape
         o = ref_onehot.shape[-1]
         bias = self.dis_bias(o)
-        dtype = jnp.bfloat16 if c.MATCHING_DTYPE == "bfloat16" else jnp.float32
-        mixed = c.MATCHING_DTYPE in ("mixed", "bfloat16")
+        mdt = c.matching_dtype   # MODEL_FLOAT16_MATCHING-aware resolution
+        dtype = jnp.bfloat16 if mdt == "bfloat16" else jnp.float32
+        mixed = mdt in ("mixed", "bfloat16")
         # in mixed mode the elementwise/dot datapath follows the
         # embedding compute dtype (bf16 at eval) with f32 norms inside
         op_dtype = current_emb.dtype if mixed else dtype

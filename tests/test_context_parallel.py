@@ -129,8 +129,13 @@ def test_chunked_eval_context_parallel_equivalence():
     model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
 
     def run(model_axis):
-        ev = Evaluator(cfg.replace(MESH_MODEL_AXIS=model_axis),
-                       model, variables)
+        # the model must carry the CP axis itself: segment_frame reads
+        # ITS config, so an Evaluator-only override leaves the graph
+        # unsharded and the test vacuous (r5 Evaluator guard catches
+        # this mismatch loudly now).  Same variables, per-axis module.
+        from rvos_tpu.models import AOCNet
+        c = cfg.replace(MESH_MODEL_AXIS=model_axis)
+        ev = Evaluator(c, AOCNet(c), variables)
         ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=7, obj_num=2)
         return ev.evaluate_sequence(ds[0])["results"]
 
@@ -143,3 +148,47 @@ def test_chunked_eval_context_parallel_equivalence():
         total += a.size
         mismatch += int((a != b).sum())
     assert mismatch / total < 0.005, (mismatch, total)
+
+
+@pytest.mark.slow
+def test_full_graph_resnet_cp_equivalence():
+    """Full PRODUCTION graph under context parallelism (VERDICT r4 weak
+    #7): the ResNet-101 AOCNet eval step — not the shrunken MobileNet
+    dryrun graph — with MESH_MODEL_AXIS=2 query-row sharding must
+    reproduce the unsharded evaluator on the same weights.  Small
+    spatial dims keep the 1-vCPU host honest; the GRAPH (backbone,
+    ASPP, matching stack, calibration decoder) is the production one."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rvos_tpu.configs import resnet101_aocnet
+    from rvos_tpu.data.datasets import SyntheticEval
+    from rvos_tpu.engine.eval import Evaluator
+    from rvos_tpu.models import AOCNet
+    from rvos_tpu.models.aocnet import init_model
+
+    base = resnet101_aocnet().replace(
+        PRETRAIN=False, MODEL_MAX_OBJ_NUM=3, TEST_BANK_CAPACITY=3,
+        TEST_MAX_SIZE=None, MEM_EVERY=2, USE_PALLAS=False,
+        MATCHING_DTYPE="float32", EVAL_COMPUTE_DTYPE="float32",
+        TEST_ENSEMBLE_SHARD=False)
+    assert base.MODEL_BACKBONE == "resnet"   # ResNet-101 dispatch value
+    model, variables = init_model(base, jax.random.PRNGKey(0), (49, 49))
+
+    def run(model_axis):
+        c = base.replace(MESH_MODEL_AXIS=model_axis)
+        ev = Evaluator(c, AOCNet(c), variables)
+        ds = SyntheticEval(size=(49, 49), n_seqs=1, n_frames=4, obj_num=2)
+        return ev.evaluate_sequence(ds[0])["results"]
+
+    want = run(1)
+    got = run(2)
+    assert set(want) == set(got)
+    total = mismatch = 0
+    for k in want:
+        a, b = np.asarray(want[k]), np.asarray(got[k])
+        assert a.shape == b.shape
+        total += a.size
+        mismatch += int((a != b).sum())
+    # f32 everywhere → reduction-order noise only; allow a near-tie
+    # argmax sliver like the other CP equivalence tests
+    assert mismatch / total < 0.002, (mismatch, total)

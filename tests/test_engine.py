@@ -173,6 +173,37 @@ def test_train_step_updates_params(tmp_path):
                      "000002_prev_img.jpeg", "000002_ref_img.jpeg"]
 
 
+def test_nonfinite_grad_step_skipped():
+    """TRAIN_SKIP_NONFINITE: a NaN batch must leave params and
+    optimizer state untouched (a nonfinite global norm otherwise
+    propagates through clip-by-global-norm into EVERY parameter and the
+    run flatlines — observed in workdir/genab_train.log step 158)."""
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg, init_spatial=(33, 33))
+    ds = SyntheticTrain(size=(33, 33), curr_len=cfg.DATA_CURR_SEQ_LEN,
+                        length=4, obj_num=2)
+    batcher = TrainBatcher(ds, batch_size=1, transform=_train_transform,
+                           num_workers=1)
+    batch = next(batcher.epoch(0))
+    poisoned = dict(batch)
+    poisoned["ref_img"] = np.full_like(np.asarray(batch["ref_img"]), np.nan)
+    p0 = jax.tree.map(np.asarray, trainer.state.params)
+    m = trainer.train_step(poisoned, jax.random.PRNGKey(0))
+    assert not np.isfinite(float(m["grad_norm"]))
+    assert int(trainer.state.step) == 1          # step counter advances
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+        p0, trainer.state.params)
+    assert max(jax.tree.leaves(deltas)) == 0.0   # params untouched
+    # and the run recovers: a healthy batch still updates
+    m2 = trainer.train_step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+        p0, trainer.state.params)
+    assert max(jax.tree.leaves(deltas)) > 0.0
+
+
 @pytest.mark.slow
 def test_uint8_batch_matches_host_normalized():
     """The uint8 train feed (raw u8 batch, in-graph normalize) must

@@ -54,7 +54,12 @@ def test_batched_ensemble_matches_loop_path(tmp_path):
     model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
 
     def run(use_fused):
-        ev = Evaluator(cfg.replace(TEST_FUSED_POSTPROCESS=use_fused),
+        # TEST_ENSEMBLE_SHARD off: this test pins the SINGLE-device
+        # batched path (the sharded path has its own equivalence suite,
+        # test_ensemble_shard.py — with 8 virtual devices in conftest it
+        # would otherwise take over and leave this path uncovered)
+        ev = Evaluator(cfg.replace(TEST_FUSED_POSTPROCESS=use_fused,
+                                   TEST_ENSEMBLE_SHARD=False),
                        model, variables)
         ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=4, obj_num=2)
         return ev.evaluate_sequence(ds[0])["results"]
@@ -163,7 +168,10 @@ def test_chunked_ensemble_matches_per_frame():
     model, variables = init_model(cfg, jax.random.PRNGKey(0), (33, 33))
 
     def run(chunk):
-        ev = Evaluator(cfg.replace(TEST_FRAME_CHUNK=chunk),
+        # shard off: keeps _step_ensemble_chunk under test (sharded
+        # mode bypasses chunking; it has its own suite)
+        ev = Evaluator(cfg.replace(TEST_FRAME_CHUNK=chunk,
+                                   TEST_ENSEMBLE_SHARD=False),
                        model, variables)
         ds = SyntheticEval(size=(33, 33), n_seqs=1, n_frames=6, obj_num=2)
         return ev.evaluate_sequence(ds[0])["results"]

@@ -88,7 +88,10 @@ def build_sequence(seq_dir, lab_dir, seed, hw, n_frames):
     colors = [tuple(int(255 * c) for c in colorsys.hsv_to_rgb(
         h, rng.uniform(0.7, 1.0), rng.uniform(0.7, 1.0))) for h in hues]
     shapes = rng.integers(0, 2, N_OBJ)
-    size = rng.uniform(0.06, 0.12, (N_OBJ, 2)) * hw   # half-extents
+    # >= ~8 embedding-stride pixels even after crop/downscale: a VALID
+    # object with zero pixels at the matching resolution is the
+    # eps-normalization grad hazard (genab_train.log step-158 NaN)
+    size = rng.uniform(0.08, 0.14, (N_OBJ, 2)) * hw   # half-extents
     pos = rng.uniform(0.2, 0.8, (N_OBJ, 2)) * hw
     vel = rng.uniform(-0.012, 0.012, (N_OBJ, 2)) * hw
     for i in range(n_frames):
@@ -272,13 +275,16 @@ def eval_ab(args):
     lab_root = os.path.join(ROOT, "Annotations", "480p")
     ab_path = os.path.join(ROOT, "ab.jsonl")
     rows = []
+    from rvos_tpu.models import AOCNet
     for name in names:
         ov = AB_MATRIX[name]
         ecfg = cfg.replace(**ov)
         p = rand_params if name == "random_init" else params
         out = os.path.join(ROOT, f"eval_{name}")
         os.makedirs(out, exist_ok=True)
-        ev = Evaluator(ecfg, model, {"params": p}, out)
+        # segment_frame reads the MODEL's config — rebuild per knob set
+        # (params are layout-compatible across eval knobs)
+        ev = Evaluator(ecfg, AOCNet(ecfg), {"params": p}, out)
         t0 = time.time()
         ev.evaluating(ds, save_root=out, verbose=False)
         dt = time.time() - t0
@@ -304,7 +310,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["build", "train", "eval_ab", "all"])
     ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--lr", type=float, default=0.005)
     ap.add_argument("--configs", type=str, default="")
     args = ap.parse_args()
 
