@@ -1271,8 +1271,16 @@ class Evaluator:
         self._last_states = states
         self._last_label_list = label_all_list
         fps = seq_frames / max(seq_time, 1e-6)
-        return {"results": results, "fps": fps, "frames": seq_frames,
-                "time": seq_time, "timing": timing}
+        # Reference-accounting fps (eval_manager_mm.py:196-198,363-373):
+        # the reference starts its per-frame timer AFTER the DataLoader
+        # yields, so loader wait (decode/resize on workers) is excluded
+        # from its FPS; ``save_mask`` runs after the frame time is taken,
+        # so PNG writes are excluded too.  ``fps_ref`` excludes only the
+        # measured loader stall — D2H and PNG writes remain included, so
+        # it is still STRICTER than the reference's own accounting.
+        fps_ref = seq_frames / max(seq_time - timing["loader_wait"], 1e-6)
+        return {"results": results, "fps": fps, "fps_ref": fps_ref,
+                "frames": seq_frames, "time": seq_time, "timing": timing}
 
     def evaluating(self, dataset, save_root: Optional[str] = None,
                    verbose: bool = True) -> Dict:
